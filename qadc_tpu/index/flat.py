@@ -1,0 +1,177 @@
+"""Flat (exhaustive) index: one partition holding all codes.
+
+Reference: flat_db (databases.hpp:77-167) — "assignment" is the identity (the
+query is its own residual, databases.hpp:93-116), add = parallel encode into a
+growing code buffer. Here codes live device-side as a padded (N_pad, code_size)
+uint8 array; add re-pads (host-side, append-only); search is jitted.
+
+Search paths (reference: scanner_simple db_query.cpp:17-46, scanner_4
+db_query_4.cpp:73-310):
+  - search_adc:  float ADC over all codes (any sq_bits) + exact top-r.
+  - search_qadc: keep-prefix float scan -> per-query int8 bound -> QuantizerMAX
+    table quantization -> int8 LUT scan (Pallas on TPU, jnp elsewhere) -> top-r.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from qadc_tpu.core.layout import DEFAULT_BLOCK, pad_codes_to_block
+from qadc_tpu.core.packing import unpack_codes
+from qadc_tpu.ops.topk import topk_smallest
+from qadc_tpu.kernels.scan_ref import adc_scan_f32, scan_topk_f32, scan_topk_int8
+from qadc_tpu.ops.quantization import (
+    clamp_bound_to_max_distance,
+    keep_prefix_bound,
+    quantize_tables_int8,
+)
+from qadc_tpu.ops.tables import adc_tables
+from qadc_tpu.quantizers.pq import ProductQuantizer, encode
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["pq", "codes"],
+    meta_fields=["n"],
+)
+@dataclasses.dataclass(frozen=True)
+class FlatIndex:
+    """Flat index.
+
+    Attributes:
+      pq: ProductQuantizer (or OPQQuantizer).
+      codes: (N_pad, code_size) uint8 packed codes; padded tail repeats the
+        last code (labels clamp to n-1, reference quirk simd_scan.hpp:67).
+      n: real (unpadded) vector count — static.
+    """
+
+    pq: ProductQuantizer
+    codes: jax.Array
+    n: int
+
+    @classmethod
+    def create(cls, pq: ProductQuantizer) -> "FlatIndex":
+        """Empty index (reference: flatdb_create.cpp:39-66)."""
+        return cls(
+            pq=pq,
+            codes=jnp.zeros((DEFAULT_BLOCK, pq.code_size), jnp.uint8),
+            n=0,
+        )
+
+    @property
+    def labels(self):
+        """(N_pad,) int32, padded tail clamped to n-1."""
+        n_pad = self.codes.shape[0]
+        lab = jnp.arange(n_pad, dtype=jnp.int32)
+        return jnp.minimum(lab, max(self.n - 1, 0))
+
+
+def add(index: FlatIndex, vectors, encode_batch: int = 262144) -> FlatIndex:
+    """Encode and append vectors (reference: flat_db::add_vectors,
+    databases.hpp:136-156 — OpenMP threads become device-side batches).
+
+    Host-side re-pad; call outside jit.
+    """
+    vectors = np.asarray(vectors, np.float32)
+    chunks = []
+    for s in range(0, vectors.shape[0], encode_batch):
+        chunks.append(np.asarray(encode(index.pq, vectors[s : s + encode_batch])))
+    old = np.asarray(index.codes[: index.n]) if index.n else np.zeros(
+        (0, index.pq.code_size), np.uint8
+    )
+    all_codes = np.concatenate([old] + chunks, axis=0)
+    return FlatIndex(
+        pq=index.pq,
+        codes=jnp.asarray(pad_codes_to_block(all_codes)),
+        n=int(all_codes.shape[0]),
+    )
+
+
+@partial(jax.jit, static_argnames=("r",))
+def search_adc(index: FlatIndex, queries, r: int = 100):
+    """Conventional float ADC search.
+
+    Args:
+      queries: (Q, dim) float32.
+      r: results per query.
+
+    Returns:
+      (dists (Q, r) float32 ascending, labels (Q, r) int32).
+    """
+    rotated = index.pq.rotate(queries)  # flat assignment = identity residual
+    tables = adc_tables(rotated, index.pq.centroids)  # (Q, M, K)
+    return scan_topk_f32(
+        index.codes, index.labels, tables, index.pq.sq_bits, r,
+        num_valid=index.n,
+    )
+
+
+def _prefix_size(n: int, keep: float) -> int:
+    """max(1, n*keep) (reference: db_query_4.cpp:125-126)."""
+    return max(1, int(n * keep))
+
+
+@partial(jax.jit, static_argnames=("r", "keep", "rerank"))
+def search_qadc(
+    index: FlatIndex, queries, r: int = 100, keep: float = 0.01, rerank: bool = True
+):
+    """Quick-ADC search (sq_bits must be 4; db_query_4.cpp:393-402).
+
+    keep: fraction of codes float-scanned first to set the int8 bound
+      (reference -k flag is in percent; here a plain fraction).
+    rerank: float-rerank the int8-screened candidates (2r of them). An
+      improvement over the reference: screening stays int8-cheap, but the
+      final ranking uses exact float ADC distances, recovering the recall the
+      per-entry int8 truncation loses. Costs one tiny gather+matmul per batch.
+
+    Returns:
+      (dists (Q, r) float32, labels (Q, r) int32). Distances are float ADC
+      when rerank, quantized-scale otherwise.
+    """
+    if index.pq.sq_bits != 4:
+        raise ValueError("Quick ADC requires sq_bits == 4")
+    rotated = index.pq.rotate(queries)
+    tables = adc_tables(rotated, index.pq.centroids)  # (Q, M, 16)
+
+    # Keep-prefix float scan -> per-query bound.
+    ps = _prefix_size(index.n if index.n else index.codes.shape[0], keep)
+    prefix = index.codes[:ps]
+    prefix_d = adc_scan_f32(prefix, tables, 4)  # (Q, ps)
+    bound = keep_prefix_bound(prefix_d, r)      # (Q,)
+
+    # QuantizerMAX int8 quantization (per query over that query's tables).
+    tables_nn = jnp.maximum(tables, 0.0)
+    max_possible = jnp.sum(jnp.max(tables_nn, axis=-1), axis=-1)  # (Q,)
+    bound = clamp_bound_to_max_distance(bound, max_possible)
+    qmin = jnp.min(tables_nn, axis=(-2, -1))  # (Q,)
+    qtables = quantize_tables_int8(
+        tables, bound[:, None, None], qmin[:, None, None]
+    )
+
+    if not rerank:
+        return scan_topk_int8(
+            index.codes, index.labels, qtables, r, num_valid=index.n
+        )
+
+    rr = min(2 * r, index.codes.shape[0])
+    screen_v, cand = scan_topk_int8(
+        index.codes, index.labels, qtables, rr, num_valid=index.n
+    )
+    # Flat labels are row ids, so candidates gather directly.
+    cand_codes = index.codes[cand]                 # (Q, rr, cb)
+    q = cand.shape[0]
+    m, k = index.pq.sq_count, index.pq.sq_centroid_count
+    idx = unpack_codes(cand_codes, m, 4)           # (Q, rr, M)
+    oh = jax.nn.one_hot(idx, k, dtype=jnp.float32).reshape(q, rr, m * k)
+    fd = jnp.einsum(
+        "qcf,qf->qc", oh, tables.reshape(q, m * k),
+        preferred_element_type=jnp.float32,
+    )
+    # Keep masked (padding) screen entries masked after rerank.
+    fd = jnp.where(jnp.isfinite(screen_v), fd, jnp.inf)
+    return topk_smallest(fd, cand, r)

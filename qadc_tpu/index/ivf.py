@@ -1,0 +1,315 @@
+"""IVF (inverted file) index with multiple assignment.
+
+Reference: index_db (databases.hpp:176-331) + scanner_4 (db_query_4.cpp:73-310).
+part_count coarse centroids; each vector is stored in the partition of its
+nearest centroid as a PQ code of its residual; a query probes its `ma` nearest
+partitions with per-assignment residual tables.
+
+TPU-native departures:
+  - Partitions are a UNIFORM 3D array (P, part_pad, code_size) padded by
+    repeating each partition's last code (labels clamp to the partition's last
+    real label — reference tail quirk, simd_layout.hpp:47-50). Static shapes:
+    probing = a gather along axis 0, no ragged pointers.
+  - The reference's separate "starts" prefix buffers (db_query_4.cpp:133-191)
+    are unnecessary: the keep-prefix of partition p is rows [0, size_p*keep) of
+    the same 3D array, sliced statically and masked.
+  - Coarse k-means training is in-framework and jitted (ops/kmeans.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from qadc_tpu.core.packing import unpack_codes
+from qadc_tpu.ops.kmeans import kmeans
+from qadc_tpu.ops.knn import exact_knn, assign_nearest
+from qadc_tpu.ops.quantization import (
+    clamp_bound_to_max_distance,
+    keep_prefix_bound,
+    quantize_tables_int8,
+)
+from qadc_tpu.ops.tables import adc_tables
+from qadc_tpu.ops.topk import merge_topk, topk_smallest
+from qadc_tpu.quantizers.pq import ProductQuantizer, encode
+
+PART_ALIGN = 128  # partition padding granularity (rows)
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["pq", "coarse_centroids", "codes", "labels", "part_sizes"],
+    meta_fields=["n", "max_part_size"],
+)
+@dataclasses.dataclass(frozen=True)
+class IVFIndex:
+    """IVF index.
+
+    Attributes:
+      pq: ProductQuantizer / OPQQuantizer (trained on residuals).
+      coarse_centroids: (P, dim) float32.
+      codes: (P, part_pad, code_size) uint8.
+      labels: (P, part_pad) int32.
+      part_sizes: (P,) int32 real sizes.
+      n: total real vector count — static.
+      max_part_size: max real partition size — static (for keep slicing).
+    """
+
+    pq: ProductQuantizer
+    coarse_centroids: jax.Array
+    codes: jax.Array
+    labels: jax.Array
+    part_sizes: jax.Array
+    n: int
+    max_part_size: int
+
+    @property
+    def part_count(self) -> int:
+        return self.coarse_centroids.shape[0]
+
+    @property
+    def part_pad(self) -> int:
+        return self.codes.shape[1]
+
+    @classmethod
+    def create(cls, pq: ProductQuantizer, coarse_centroids) -> "IVFIndex":
+        """Empty index (reference: indexdb_create1/2)."""
+        cc = jnp.asarray(coarse_centroids, jnp.float32)
+        p = cc.shape[0]
+        return cls(
+            pq=pq,
+            coarse_centroids=cc,
+            codes=jnp.zeros((p, PART_ALIGN, pq.code_size), jnp.uint8),
+            labels=jnp.zeros((p, PART_ALIGN), jnp.int32),
+            part_sizes=jnp.zeros((p,), jnp.int32),
+            n=0,
+            max_part_size=0,
+        )
+
+
+def train_coarse(key, learn_vectors, part_count: int, iters: int = 50):
+    """Learn the coarse quantizer (reference: learn_coarse_quantizer,
+    databases.cpp:94-118 — OpenCV kmeans++ + 48 Lloyd iterations)."""
+    centroids, _ = kmeans(key, jnp.asarray(learn_vectors, jnp.float32), part_count, iters)
+    return centroids
+
+
+def compute_residuals(index: IVFIndex, vectors, assignments):
+    """residual = vector - coarse_centroid[assignment] (databases.cpp:24-48)."""
+    return jnp.asarray(vectors, jnp.float32) - index.coarse_centroids[assignments]
+
+
+def add(index: IVFIndex, vectors, encode_batch: int = 262144) -> IVFIndex:
+    """Assign -> residual -> encode -> scatter into partitions.
+
+    Reference: index_db::add_vectors (databases.hpp:270-298). Host-side
+    repacking (append path); device does assignment and encoding.
+    """
+    vectors = np.asarray(vectors, np.float32)
+    new_codes, new_assign = [], []
+    for s in range(0, vectors.shape[0], encode_batch):
+        chunk = jnp.asarray(vectors[s : s + encode_batch])
+        a = assign_nearest(chunk, index.coarse_centroids)
+        res = chunk - index.coarse_centroids[a]
+        new_codes.append(np.asarray(encode(index.pq, res)))
+        new_assign.append(np.asarray(a))
+    codes_np = np.concatenate(new_codes, axis=0)
+    assign_np = np.concatenate(new_assign, axis=0)
+    new_labels = np.arange(index.n, index.n + vectors.shape[0], dtype=np.int32)
+
+    p = index.part_count
+    cb = index.pq.code_size
+    old_sizes = np.asarray(index.part_sizes)
+    old_codes = np.asarray(index.codes)
+    old_labels = np.asarray(index.labels)
+
+    per_part_codes = []
+    per_part_labels = []
+    for pi in range(p):
+        sel = assign_np == pi
+        pc = [old_codes[pi, : old_sizes[pi]], codes_np[sel]]
+        pl = [old_labels[pi, : old_sizes[pi]], new_labels[sel]]
+        per_part_codes.append(np.concatenate(pc, axis=0))
+        per_part_labels.append(np.concatenate(pl, axis=0))
+
+    sizes = np.array([c.shape[0] for c in per_part_codes], dtype=np.int32)
+    max_size = int(sizes.max()) if p else 0
+    part_pad = max(PART_ALIGN, -(-max_size // PART_ALIGN) * PART_ALIGN)
+
+    codes3 = np.zeros((p, part_pad, cb), np.uint8)
+    labels3 = np.zeros((p, part_pad), np.int32)
+    for pi in range(p):
+        sz = sizes[pi]
+        if sz == 0:
+            continue
+        codes3[pi, :sz] = per_part_codes[pi]
+        labels3[pi, :sz] = per_part_labels[pi]
+        # Pad by repeating the last code / clamping to the last label.
+        codes3[pi, sz:] = per_part_codes[pi][-1]
+        labels3[pi, sz:] = per_part_labels[pi][-1]
+
+    return IVFIndex(
+        pq=index.pq,
+        coarse_centroids=index.coarse_centroids,
+        codes=jnp.asarray(codes3),
+        labels=jnp.asarray(labels3),
+        part_sizes=jnp.asarray(sizes),
+        n=index.n + int(vectors.shape[0]),
+        max_part_size=max_size,
+    )
+
+
+def _one_hot_gathered(codes, sq_count: int, sq_bits: int, dtype):
+    """(..., S, code_bytes) uint8 -> (..., S, M*K) one-hot."""
+    idx = unpack_codes(codes, sq_count, sq_bits)  # (..., S, M)
+    k = 1 << sq_bits
+    oh = jax.nn.one_hot(idx, k, dtype=dtype)
+    return oh.reshape(*idx.shape[:-1], sq_count * k)
+
+
+def assign_queries(index: IVFIndex, queries, ma: int):
+    """(Q, ma) nearest partitions + (Q, ma, dim) rotated residual queries.
+
+    Reference: index_db::assign_compute_residuals (databases.hpp:201-231) +
+    OPQ rotation of residuals (query_common.hpp:289).
+    """
+    queries = jnp.asarray(queries, jnp.float32)
+    _, parts = exact_knn(queries, index.coarse_centroids, ma)  # (Q, ma)
+    residuals = queries[:, None, :] - index.coarse_centroids[parts]
+    q, _, dim = residuals.shape
+    rot = index.pq.rotate(residuals.reshape(q * ma, dim)).reshape(q, ma, dim)
+    return parts, rot
+
+
+@partial(jax.jit, static_argnames=("r", "ma"))
+def search_adc(index: IVFIndex, queries, r: int = 100, ma: int = 1):
+    """Conventional float ADC IVF search (reference: db_query.cpp)."""
+    parts, rot = assign_queries(index, queries, ma)
+    tables = adc_tables(rot, index.pq.centroids)  # (Q, ma, M, K)
+    m, k = index.pq.sq_count, index.pq.sq_centroid_count
+    tflat = tables.reshape(*tables.shape[:2], m * k)
+
+    sizes = index.part_sizes[parts]  # (Q, ma)
+
+    def scan_one_assignment(ass_i, carry):
+        best_v, best_l = carry
+        pids = jax.lax.dynamic_index_in_dim(parts, ass_i, 1, keepdims=False)
+        pcodes = index.codes[pids]                     # (Q, part_pad, cb)
+        plabels = index.labels[pids]                   # (Q, part_pad)
+        oh = _one_hot_gathered(pcodes, m, index.pq.sq_bits, jnp.float32)
+        t = jax.lax.dynamic_index_in_dim(tflat, ass_i, 1, keepdims=False)
+        d = jnp.einsum("qsf,qf->qs", oh, t, preferred_element_type=jnp.float32)
+        # Mask padded rows (duplicates of the last code would flood the top-r
+        # at our padding granularity) and empty partitions.
+        sz = jax.lax.dynamic_index_in_dim(sizes, ass_i, 1, keepdims=True)
+        col = jnp.arange(index.part_pad, dtype=jnp.int32)
+        d = jnp.where(col[None, :] < sz, d, jnp.inf)
+        cv, cl = topk_smallest(d, plabels, min(r, index.part_pad))
+        return merge_topk(best_v, best_l, cv, cl, r)
+
+    q = queries.shape[0]
+    init = (jnp.full((q, r), jnp.inf, jnp.float32), jnp.zeros((q, r), jnp.int32))
+    vals, labs = jax.lax.fori_loop(0, ma, scan_one_assignment, init)
+    return vals, labs
+
+
+@partial(jax.jit, static_argnames=("r", "ma", "keep", "prefix_pad", "rerank"))
+def _search_qadc_impl(
+    index: IVFIndex, queries, r: int, ma: int, keep: float, prefix_pad: int,
+    rerank: bool,
+):
+    parts, rot = assign_queries(index, queries, ma)
+    tables = adc_tables(rot, index.pq.centroids)  # (Q, ma, M, 16)
+    m = index.pq.sq_count
+    tflat = tables.reshape(*tables.shape[:2], m * 16)
+    q = queries.shape[0]
+    sizes = index.part_sizes[parts]  # (Q, ma)
+
+    # ---- keep-prefix float scan over the first max(1, size*keep) codes of
+    # each probed partition (db_query_4.cpp:230-242). prefix_pad is the static
+    # bound; per-partition validity masked.
+    starts_sizes = jnp.maximum(
+        1, (sizes.astype(jnp.float32) * keep).astype(jnp.int32)
+    )
+    starts_sizes = jnp.where(sizes > 0, starts_sizes, 0)  # empty -> none
+    pcodes_prefix = index.codes[parts, :prefix_pad]        # (Q, ma, pp, cb)
+    oh = _one_hot_gathered(pcodes_prefix, m, 4, jnp.float32)
+    pd = jnp.einsum(
+        "qapf,qaf->qap", oh, tflat, preferred_element_type=jnp.float32
+    )
+    col = jnp.arange(prefix_pad, dtype=jnp.int32)
+    valid = col[None, None, :] < starts_sizes[:, :, None]
+    bound = keep_prefix_bound(pd.reshape(q, ma * prefix_pad), r,
+                              valid.reshape(q, ma * prefix_pad))
+
+    # ---- QuantizerMAX int8 quantization over ALL of the query's tables
+    # (db_query_4.cpp:256-284).
+    tables_nn = jnp.maximum(tables, 0.0)
+    max_possible = jnp.max(jnp.sum(jnp.max(tables_nn, axis=-1), axis=-1), axis=-1)
+    bound = clamp_bound_to_max_distance(bound, max_possible)
+    qmin = jnp.min(tables_nn, axis=(-3, -2, -1))  # (Q,)
+    qtables = quantize_tables_int8(
+        tables, bound[:, None, None, None], qmin[:, None, None, None]
+    )  # (Q, ma, M, 16) int8
+    qtflat = qtables.reshape(q, ma, m * 16)
+
+    # ---- int8 screen of each probed partition (+ optional float rerank of
+    # the screened candidates), merged top-r. The int8 scan is unsaturated
+    # (int32 MXU accumulation, strictly more informative than the reference's
+    # saturating adds); rerank recovers the per-entry truncation loss.
+    rr = min((2 * r) if rerank else r, index.part_pad)
+
+    def scan_one_assignment(ass_i, carry):
+        best_v, best_l = carry
+        pids = jax.lax.dynamic_index_in_dim(parts, ass_i, 1, keepdims=False)
+        pcodes = index.codes[pids]   # (Q, part_pad, cb)
+        plabels = index.labels[pids]
+        ohc = _one_hot_gathered(pcodes, m, 4, jnp.int8)
+        qt = jax.lax.dynamic_index_in_dim(qtflat, ass_i, 1, keepdims=False)
+        acc = jnp.einsum(
+            "qsf,qf->qs", ohc, qt, preferred_element_type=jnp.int32
+        ).astype(jnp.float32)
+        sz = jax.lax.dynamic_index_in_dim(sizes, ass_i, 1, keepdims=True)
+        col = jnp.arange(index.part_pad, dtype=jnp.int32)
+        d = jnp.where(col[None, :] < sz, acc, jnp.inf)
+        neg_top, rows = jax.lax.top_k(-d, rr)           # (Q, rr) screened rows
+        cl = jnp.take_along_axis(plabels, rows, axis=-1)
+        if rerank:
+            t = jax.lax.dynamic_index_in_dim(tflat, ass_i, 1, keepdims=False)
+            cand_oh = jnp.take_along_axis(
+                ohc, rows[:, :, None], axis=1
+            ).astype(jnp.float32)                        # (Q, rr, M*16)
+            cv = jnp.einsum(
+                "qcf,qf->qc", cand_oh, t, preferred_element_type=jnp.float32
+            )
+            cv = jnp.where(jnp.isfinite(-neg_top), cv, jnp.inf)
+        else:
+            cv = -neg_top
+        return merge_topk(best_v, best_l, cv, cl, r)
+
+    init = (jnp.full((q, r), jnp.inf, jnp.float32), jnp.zeros((q, r), jnp.int32))
+    vals, labs = jax.lax.fori_loop(0, ma, scan_one_assignment, init)
+    return vals, labs
+
+
+def search_qadc(
+    index: IVFIndex, queries, r: int = 100, ma: int = 1, keep: float = 0.01,
+    rerank: bool = True,
+):
+    """Quick-ADC IVF search (reference: db_query_4.cpp; requires sq_bits==4).
+
+    rerank: float-rerank the int8-screened candidates per assignment (see
+    flat.search_qadc) — default on; pass False for reference-style ranking by
+    quantized distance.
+
+    Returns (dists (Q, r) float32, labels (Q, r) int32).
+    """
+    if index.pq.sq_bits != 4:
+        raise ValueError("Quick ADC requires sq_bits == 4")
+    prefix_pad = max(1, int(index.max_part_size * keep)) if index.max_part_size else 1
+    prefix_pad = min(prefix_pad, index.part_pad)
+    return _search_qadc_impl(index, queries, r, ma, keep, prefix_pad, rerank)

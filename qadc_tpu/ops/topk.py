@@ -1,0 +1,60 @@
+"""Data-parallel top-k building blocks.
+
+The reference's bound-pruned binheap (binheap.hpp:75-116) is inherently serial;
+on TPU top-k becomes: (1) an optional windowed min-reduction that shrinks N
+candidates to N/W per query with negligible recall loss (two of the true top-R
+must collide in one window to lose one — probability ≈ R^2*W/(2N)), then
+(2) an exact lax.top_k over the survivors, and for sharded scans (3) a merge of
+per-shard (value, label) pairs.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def window_min_reduce(dists, window: int, base_index: int = 0):
+    """Per-window min + argmin along the leading (code) axis.
+
+    Args:
+      dists: (N, Q) distances (any dtype with ordering).
+      window: W, must divide N.
+      base_index: offset added to returned indices (global code offset).
+
+    Returns:
+      (vals (N//W, Q), idx (N//W, Q) int32) — per window, the min distance and
+      the GLOBAL index of its code.
+    """
+    n, q = dists.shape
+    if n % window != 0:
+        raise ValueError(f"window {window} must divide N={n}")
+    g = n // window
+    shaped = dists.reshape(g, window, q)
+    vals = jnp.min(shaped, axis=1)
+    arg = jnp.argmin(shaped, axis=1).astype(jnp.int32)
+    row_base = jnp.arange(g, dtype=jnp.int32)[:, None] * window + base_index
+    return vals, arg + row_base
+
+
+def topk_smallest(dists, labels, k: int):
+    """Top-k smallest along the LAST axis, carrying labels.
+
+    Args:
+      dists: (..., C) distances.
+      labels: (..., C) int32 labels aligned with dists.
+      k: result count.
+
+    Returns:
+      (vals (..., k) ascending, labels (..., k) int32).
+    """
+    neg = -jnp.asarray(dists, jnp.float32)
+    top, idx = jax.lax.top_k(neg, k)
+    return -top, jnp.take_along_axis(labels, idx, axis=-1)
+
+
+def merge_topk(vals_a, labels_a, vals_b, labels_b, k: int):
+    """Merge two per-query candidate sets into the k smallest."""
+    vals = jnp.concatenate([vals_a, vals_b], axis=-1)
+    labels = jnp.concatenate([labels_a, labels_b], axis=-1)
+    return topk_smallest(vals, labels, k)

@@ -1,0 +1,70 @@
+import numpy as np
+import jax
+
+from qadc_tpu.index import flat
+from qadc_tpu.ops.knn import exact_knn
+from qadc_tpu.quantizers.opq import train_opq
+from qadc_tpu.quantizers.pq import train_pq
+from qadc_tpu.eval.recall import recall_at_r
+
+
+def _synthetic(rng, n=4000, dim=32, nq=40):
+    """Gaussian-mixture dataset with exact groundtruth."""
+    centers = rng.normal(scale=3.0, size=(12, dim)).astype(np.float32)
+    which = rng.integers(0, 12, size=n)
+    base = (centers[which] + rng.normal(size=(n, dim))).astype(np.float32)
+    queries = (centers[rng.integers(0, 12, size=nq)] + rng.normal(size=(nq, dim))).astype(
+        np.float32
+    )
+    _, gt = exact_knn(queries, base, 1)
+    return base, queries, np.asarray(gt)
+
+
+def test_flat_adc_recall(rng):
+    base, queries, gt = _synthetic(rng)
+    pq = train_pq(jax.random.PRNGKey(0), base, sq_count=8, sq_bits=8, iters=20)
+    index = flat.add(flat.FlatIndex.create(pq), base)
+    assert index.n == 4000
+    _, labels = flat.search_adc(index, queries, r=100)
+    rec = recall_at_r(np.asarray(labels), gt)
+    assert rec > 0.95, rec
+
+
+def test_flat_qadc_matches_adc_recall(rng):
+    base, queries, gt = _synthetic(rng)
+    pq = train_pq(jax.random.PRNGKey(0), base, sq_count=16, sq_bits=4, iters=20)
+    index = flat.add(flat.FlatIndex.create(pq), base)
+
+    _, labels_f = flat.search_adc(index, queries, r=100)
+    rec_f = recall_at_r(np.asarray(labels_f), gt)
+
+    # keep must give a prefix >= r (the reference exits otherwise): 0.05*4000=200.
+    _, labels_q = flat.search_qadc(index, queries, r=100, keep=0.05)
+    rec_q = recall_at_r(np.asarray(labels_q), gt)
+
+    assert rec_f > 0.9, rec_f
+    # Quick ADC (int8) within a few points of the float scan (README: ~parity).
+    assert rec_q >= rec_f - 0.05, (rec_q, rec_f)
+
+
+def test_flat_opq_search(rng):
+    base, queries, gt = _synthetic(rng)
+    opq = train_opq(
+        jax.random.PRNGKey(1), base, sq_count=16, sq_bits=4, opq_iters=3, kmeans_iters=10
+    )
+    index = flat.add(flat.FlatIndex.create(opq), base)
+    _, labels = flat.search_qadc(index, queries, r=100, keep=0.05)
+    rec = recall_at_r(np.asarray(labels), gt)
+    assert rec > 0.85, rec
+
+
+def test_flat_incremental_add(rng):
+    base, queries, _ = _synthetic(rng)
+    pq = train_pq(jax.random.PRNGKey(0), base, sq_count=16, sq_bits=4, iters=10)
+    i1 = flat.add(flat.FlatIndex.create(pq), base)
+    i2 = flat.add(flat.add(flat.FlatIndex.create(pq), base[:1500]), base[1500:])
+    assert i2.n == i1.n
+    np.testing.assert_array_equal(np.asarray(i1.codes), np.asarray(i2.codes))
+    d1, l1 = flat.search_adc(i1, queries[:4], r=10)
+    d2, l2 = flat.search_adc(i2, queries[:4], r=10)
+    np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))

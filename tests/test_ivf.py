@@ -1,0 +1,79 @@
+import numpy as np
+import jax
+
+from qadc_tpu.index import ivf
+from qadc_tpu.ops.knn import exact_knn
+from qadc_tpu.quantizers.pq import train_pq
+from qadc_tpu.eval.recall import recall_at_r
+
+
+def _build_ivf(rng, n=4000, dim=32, parts=16, sq_bits=4, sq_count=16):
+    centers = rng.normal(scale=3.0, size=(12, dim)).astype(np.float32)
+    which = rng.integers(0, 12, size=n)
+    base = (centers[which] + rng.normal(size=(n, dim))).astype(np.float32)
+    queries = (centers[rng.integers(0, 12, size=40)] + rng.normal(size=(40, dim))).astype(
+        np.float32
+    )
+    _, gt = exact_knn(queries, base, 1)
+
+    key = jax.random.PRNGKey(0)
+    coarse = ivf.train_coarse(key, base, parts, iters=15)
+    # Train PQ on residuals (reference pipeline: indexdb_create1 residuals file).
+    from qadc_tpu.ops.knn import assign_nearest
+
+    a = assign_nearest(base, coarse)
+    residuals = base - np.asarray(coarse)[np.asarray(a)]
+    pq = train_pq(jax.random.PRNGKey(1), residuals, sq_count, sq_bits, iters=15)
+
+    index = ivf.add(ivf.IVFIndex.create(pq, coarse), base)
+    return index, base, queries, np.asarray(gt)
+
+
+def test_ivf_build_invariants(rng):
+    index, base, _, _ = _build_ivf(rng)
+    assert index.n == 4000
+    sizes = np.asarray(index.part_sizes)
+    assert sizes.sum() == 4000
+    # Residual check (reference: indexdb_create1 check_residuals to 1e-5).
+    labels = np.asarray(index.labels)
+    coarse = np.asarray(index.coarse_centroids)
+    from qadc_tpu.ops.knn import assign_nearest
+
+    a = np.asarray(assign_nearest(base, index.coarse_centroids))
+    for pi in range(index.part_count):
+        for row in range(int(sizes[pi])):
+            assert a[labels[pi, row]] == pi  # stored in its assigned partition
+    # All labels accounted for exactly once.
+    real = np.concatenate(
+        [labels[pi, : sizes[pi]] for pi in range(index.part_count)]
+    )
+    assert sorted(real.tolist()) == list(range(4000))
+
+
+def test_ivf_adc_recall(rng):
+    index, _, queries, gt = _build_ivf(rng, sq_bits=8, sq_count=8)
+    _, labels = ivf.search_adc(index, queries, r=100, ma=8)
+    rec = recall_at_r(np.asarray(labels), gt)
+    assert rec > 0.9, rec
+
+
+def test_ivf_qadc_recall(rng):
+    index, _, queries, gt = _build_ivf(rng, sq_bits=4, sq_count=16)
+    _, labels_f = ivf.search_adc(index, queries, r=100, ma=8)
+    rec_f = recall_at_r(np.asarray(labels_f), gt)
+    # keep sized so the prefix across 8 probed partitions (~250 codes each)
+    # exceeds r=100: 0.1*250*8 = 200.
+    _, labels_q = ivf.search_qadc(index, queries, r=100, ma=8, keep=0.1)
+    rec_q = recall_at_r(np.asarray(labels_q), gt)
+    assert rec_f > 0.85, rec_f
+    assert rec_q >= rec_f - 0.05, (rec_q, rec_f)
+
+
+def test_ivf_more_probes_more_recall(rng):
+    index, _, queries, gt = _build_ivf(rng, sq_bits=8, sq_count=8)
+    recs = []
+    for ma in (1, 4, 12):
+        _, labels = ivf.search_adc(index, queries, r=100, ma=ma)
+        recs.append(recall_at_r(np.asarray(labels), gt))
+    assert recs[0] <= recs[1] + 0.03 and recs[1] <= recs[2] + 0.03
+    assert recs[2] > 0.9

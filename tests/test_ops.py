@@ -1,0 +1,120 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from qadc_tpu.ops.tables import adc_tables
+from qadc_tpu.ops.knn import exact_knn, assign_nearest
+from qadc_tpu.ops.kmeans import kmeans
+from qadc_tpu.ops.quantization import keep_prefix_bound, quantize_tables_int8
+from qadc_tpu.ops.topk import merge_topk, topk_smallest, window_min_reduce
+
+
+def test_adc_tables_oracle(rng):
+    m, k, dsq, q = 8, 16, 4, 5
+    centroids = rng.normal(size=(m, k, dsq)).astype(np.float32)
+    residuals = rng.normal(size=(q, m * dsq)).astype(np.float32)
+    tables = np.asarray(adc_tables(residuals, centroids))
+    assert tables.shape == (q, m, k)
+    for qi in range(q):
+        sub = residuals[qi].reshape(m, dsq)
+        for mi in range(m):
+            for ki in range(k):
+                want = np.sum((sub[mi] - centroids[mi, ki]) ** 2)
+                # The ||a||^2+||b||^2-2ab form loses a few bits to cancellation.
+                np.testing.assert_allclose(tables[qi, mi, ki], want, rtol=3e-3, atol=1e-3)
+
+
+def test_exact_knn_oracle(rng):
+    qv = rng.normal(size=(7, 12)).astype(np.float32)
+    base = rng.normal(size=(50, 12)).astype(np.float32)
+    dists, idx = exact_knn(qv, base, 5)
+    dists, idx = np.asarray(dists), np.asarray(idx)
+    full = ((qv[:, None, :] - base[None, :, :]) ** 2).sum(-1)
+    want_idx = np.argsort(full, axis=1)[:, :5]
+    np.testing.assert_array_equal(np.sort(idx, axis=1), np.sort(want_idx, axis=1))
+    np.testing.assert_allclose(dists, np.sort(full, axis=1)[:, :5], rtol=1e-4, atol=1e-4)
+    np.testing.assert_array_equal(
+        np.asarray(assign_nearest(qv, base)), np.argmin(full, axis=1)
+    )
+
+
+def test_kmeans_separated_clusters(rng):
+    centers = np.array([[10.0, 0.0], [-10.0, 0.0], [0.0, 10.0]], np.float32)
+    x = np.concatenate(
+        [c + 0.1 * rng.normal(size=(50, 2)).astype(np.float32) for c in centers]
+    )
+    cents, assign = kmeans(jax.random.PRNGKey(0), x, 3, iters=10)
+    cents = np.asarray(cents)
+    # Each true center recovered to within noise.
+    for c in centers:
+        assert np.min(np.linalg.norm(cents - c, axis=1)) < 0.5
+    # Assignment is consistent: 50 per cluster.
+    counts = np.bincount(np.asarray(assign), minlength=3)
+    np.testing.assert_array_equal(np.sort(counts), [50, 50, 50])
+
+
+def _quantize_ref(val, qmin, qmax):
+    """Direct port of QuantizerMAX<int8> (db_query_4.cpp:38-71) for oracle use."""
+    delta = (qmax - qmin) / 127.0
+    if val >= qmax:
+        return 127
+    return int((val - qmin) / delta)
+
+
+def test_quantize_tables_matches_reference(rng):
+    tables = rng.uniform(-1.0, 50.0, size=(4, 16)).astype(np.float32)
+    qmax = 30.0
+    clamped = np.maximum(tables, 0.0)
+    qmin = float(clamped.min())
+    got = np.asarray(quantize_tables_int8(tables, qmax))
+    for i in range(4):
+        for j in range(16):
+            want = _quantize_ref(max(tables[i, j], 0.0), qmin, qmax)
+            assert got[i, j] == want, (i, j, tables[i, j])
+    assert got.dtype == np.int8
+    assert got.min() >= 0 and got.max() <= 127
+
+
+def test_keep_prefix_bound_matches_heap(rng):
+    """Bound == max of a capacity-R heap seeded with one +inf."""
+    import heapq
+
+    d = rng.uniform(0, 100, size=(40,)).astype(np.float32)
+    r = 10
+    # Simulate reference kv_binheap: keep R smallest of {+inf} ∪ d.
+    union = np.concatenate([[np.inf], d])
+    want = np.sort(union)[r - 1]
+    got = float(keep_prefix_bound(d[None, :], r)[0])
+    assert got == pytest.approx(want)
+    # Fewer than r values -> +inf.
+    got2 = float(keep_prefix_bound(d[None, :3], r)[0])
+    assert np.isinf(got2)
+    # Mask support.
+    mask = np.zeros(40, bool)
+    mask[:r] = True
+    want3 = np.sort(d[:r])[r - 1]
+    got3 = float(keep_prefix_bound(d[None, :], r, mask[None, :])[0])
+    assert got3 == pytest.approx(want3)
+
+
+def test_window_min_reduce(rng):
+    d = rng.uniform(size=(32, 3)).astype(np.float32)
+    vals, idx = window_min_reduce(jnp.asarray(d), 8, base_index=100)
+    vals, idx = np.asarray(vals), np.asarray(idx)
+    for g in range(4):
+        w = d[g * 8 : (g + 1) * 8]
+        np.testing.assert_allclose(vals[g], w.min(0))
+        np.testing.assert_array_equal(idx[g], w.argmin(0) + g * 8 + 100)
+
+
+def test_topk_merge(rng):
+    d = rng.uniform(size=(2, 20)).astype(np.float32)
+    labels = np.tile(np.arange(20, dtype=np.int32), (2, 1))
+    v1, l1 = topk_smallest(jnp.asarray(d[:, :10]), jnp.asarray(labels[:, :10]), 4)
+    v2, l2 = topk_smallest(jnp.asarray(d[:, 10:]), jnp.asarray(labels[:, 10:]), 4)
+    v, l = merge_topk(v1, l1, v2, l2, 4)
+    want = np.sort(d, axis=1)[:, :4]
+    np.testing.assert_allclose(np.asarray(v), want, rtol=1e-6)
+    want_l = np.argsort(d, axis=1)[:, :4]
+    np.testing.assert_array_equal(np.sort(np.asarray(l), 1), np.sort(want_l, 1))
