@@ -1,0 +1,84 @@
+"""Benchmark: Quick-ADC 4-bit LUT scan throughput on one TPU chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Headline metric: code-query pairs scanned per second by the Pallas LUT-scan
+kernel on the flagship config (SIFT1M-scale: 1M codes, 16x4 PQ = 8-byte codes,
+128-query batch, window-16 reduction + exact top-k) — the TPU analog of the
+reference's scan phase.
+
+Baseline: the reference's AVX2 scan rate derived from its published IVF-256
+SIFT1M numbers (README.md:329-330): scan 86 us/query over ma=24 partitions of
+~3906 codes => ~93,750 codes / 86 us = 1.09e9 code-query pairs/s (single query
+per pass, one core). vs_baseline = ours / 1.09e9.
+
+Timing is honest under the axon relay: calls are chained (each iteration's
+tables depend on the previous output) and a scalar readback fences the chain —
+plain block_until_ready over the relay does NOT wait for device execution.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+REFERENCE_SCAN_CQ_PER_S = 93_750 / 86e-6  # ~1.09e9, README.md:329-330
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from qadc_tpu.kernels.lut_scan import build_scan_tables, lut_scan_reduce
+
+    rng = np.random.default_rng(0)
+    n, m, q = 1_048_576, 16, 128
+    codes = jnp.asarray(rng.integers(0, 256, size=(n, m // 2), dtype=np.uint8))
+    qtables = jnp.asarray(
+        rng.integers(0, 127, size=(q, m, 16)).astype(np.int8)
+    )
+    tlo, thi = build_scan_tables(qtables)
+
+    k_inner = 16
+
+    @jax.jit
+    def chained(prev, tlo, thi):
+        for _ in range(k_inner):
+            d = (prev[0:1, 0:1] & 1).astype(jnp.int8)
+            vals, rows = lut_scan_reduce(codes, tlo + d, thi)
+            prev = vals
+        return prev
+
+    zero = jnp.zeros((n // 16, tlo.shape[1]), jnp.int32)
+    prev = chained(zero, tlo, thi)
+    _ = float(prev[0, 0])  # warmup + fence
+
+    iters = 4
+    t0 = time.time()
+    for _ in range(iters):
+        prev = chained(prev, tlo, thi)
+    _ = float(prev[0, 0])  # fence
+    dt = (time.time() - t0) / (iters * k_inner)
+
+    cq_per_s = n * q / dt
+    print(
+        json.dumps(
+            {
+                "metric": "qadc4_scan_throughput_1Mcodes_q128",
+                "value": cq_per_s,
+                "unit": "code-query pairs/s/chip",
+                "vs_baseline": cq_per_s / REFERENCE_SCAN_CQ_PER_S,
+                "detail": {
+                    "scan_ms_per_1M_codes_q128": dt * 1e3,
+                    "us_per_query_per_1M_codes": dt * 1e6 / q,
+                    "codes_GBps": n * (m // 2) / dt / 1e9,
+                    "backend": jax.default_backend(),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

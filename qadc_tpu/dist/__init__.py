@@ -1,0 +1,15 @@
+from qadc_tpu.dist.mesh import make_mesh
+from qadc_tpu.dist.sharded import (
+    shard_flat_codes,
+    search_qadc_flat_sharded,
+    search_adc_flat_sharded,
+    search_query_parallel,
+)
+
+__all__ = [
+    "make_mesh",
+    "shard_flat_codes",
+    "search_qadc_flat_sharded",
+    "search_adc_flat_sharded",
+    "search_query_parallel",
+]

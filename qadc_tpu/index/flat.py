@@ -24,6 +24,11 @@ import numpy as np
 from qadc_tpu.core.layout import DEFAULT_BLOCK, pad_codes_to_block
 from qadc_tpu.core.packing import unpack_codes
 from qadc_tpu.ops.topk import topk_smallest
+from qadc_tpu.kernels.lut_scan import (
+    DEFAULT_BLOCK_N,
+    DEFAULT_WINDOW,
+    lut_scan_topk_int8,
+)
 from qadc_tpu.kernels.scan_ref import adc_scan_f32, scan_topk_f32, scan_topk_int8
 from qadc_tpu.ops.quantization import (
     clamp_bound_to_max_distance,
@@ -153,15 +158,31 @@ def search_qadc(
         tables, bound[:, None, None], qmin[:, None, None]
     )
 
-    if not rerank:
+    # The Pallas LUT-scan kernel runs when its geometry fits and the candidate
+    # pool after window reduction is comfortably larger than r; small indexes
+    # use the jnp path (already fast at that size).
+    n_pad = index.codes.shape[0]
+    use_kernel = (
+        jax.default_backend() == "tpu"
+        and index.pq.sq_count in (16, 32)
+        and n_pad % DEFAULT_BLOCK_N == 0
+        and n_pad // DEFAULT_WINDOW >= 8 * r
+    )
+
+    def _screen(k):
+        if use_kernel:
+            v, rows = lut_scan_topk_int8(index.codes, qtables, k, index.n)
+            vf = jnp.where(v == jnp.iinfo(jnp.int32).max, jnp.inf, v.astype(jnp.float32))
+            return vf, rows  # flat labels are row ids
         return scan_topk_int8(
-            index.codes, index.labels, qtables, r, num_valid=index.n
+            index.codes, index.labels, qtables, k, num_valid=index.n
         )
 
+    if not rerank:
+        return _screen(r)
+
     rr = min(2 * r, index.codes.shape[0])
-    screen_v, cand = scan_topk_int8(
-        index.codes, index.labels, qtables, rr, num_valid=index.n
-    )
+    screen_v, cand = _screen(rr)
     # Flat labels are row ids, so candidates gather directly.
     cand_codes = index.codes[cand]                 # (Q, rr, cb)
     q = cand.shape[0]

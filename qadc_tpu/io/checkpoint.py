@@ -1,0 +1,96 @@
+"""Index checkpoint format: npz arrays + JSON manifest.
+
+Replaces the reference's cereal binary serialization of the polymorphic object
+graph (flat_db/index_db save/load, databases.hpp:158-166,300-330;
+quantizers.hpp:170-187). Arrays are stored as an .npz (one entry per field) and
+a JSON manifest records the type and static metadata — shardable per host by
+storing each host's partition subset (see dist/).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from qadc_tpu.index.flat import FlatIndex
+from qadc_tpu.index.ivf import IVFIndex
+from qadc_tpu.quantizers.pq import ProductQuantizer
+from qadc_tpu.quantizers.opq import OPQQuantizer
+
+FORMAT_VERSION = 1
+
+
+def _pq_arrays(pq, prefix: str):
+    arrays = {f"{prefix}centroids": np.asarray(pq.centroids, np.float32)}
+    meta = {"sq_bits": pq.sq_bits, "type": "opq" if isinstance(pq, OPQQuantizer) else "pq"}
+    if isinstance(pq, OPQQuantizer):
+        arrays[f"{prefix}rotation"] = np.asarray(pq.rotation, np.float32)
+    return arrays, meta
+
+
+def _pq_from(arrays, meta, prefix: str):
+    if meta["type"] == "opq":
+        return OPQQuantizer(
+            centroids=jnp.asarray(arrays[f"{prefix}centroids"]),
+            sq_bits=int(meta["sq_bits"]),
+            rotation=jnp.asarray(arrays[f"{prefix}rotation"]),
+        )
+    return ProductQuantizer(
+        centroids=jnp.asarray(arrays[f"{prefix}centroids"]),
+        sq_bits=int(meta["sq_bits"]),
+    )
+
+
+def save_index(path: str, index):
+    """Save a FlatIndex or IVFIndex to `path` (directory)."""
+    os.makedirs(path, exist_ok=True)
+    pq_arrays, pq_meta = _pq_arrays(index.pq, "pq_")
+    if isinstance(index, FlatIndex):
+        manifest = {"format": FORMAT_VERSION, "type": "flat", "n": index.n, "pq": pq_meta}
+        arrays = {"codes": np.asarray(index.codes), **pq_arrays}
+    elif isinstance(index, IVFIndex):
+        manifest = {
+            "format": FORMAT_VERSION,
+            "type": "ivf",
+            "n": index.n,
+            "max_part_size": index.max_part_size,
+            "pq": pq_meta,
+        }
+        arrays = {
+            "codes": np.asarray(index.codes),
+            "labels": np.asarray(index.labels),
+            "part_sizes": np.asarray(index.part_sizes),
+            "coarse_centroids": np.asarray(index.coarse_centroids, np.float32),
+            **pq_arrays,
+        }
+    else:
+        raise TypeError(f"unsupported index type {type(index)}")
+    np.savez(os.path.join(path, "arrays.npz"), **arrays)
+    with open(os.path.join(path, "manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=2)
+
+
+def load_index(path: str):
+    """Load an index saved by save_index."""
+    with open(os.path.join(path, "manifest.json")) as f:
+        manifest = json.load(f)
+    if manifest["format"] != FORMAT_VERSION:
+        raise ValueError(f"unsupported checkpoint format {manifest['format']}")
+    arrays = np.load(os.path.join(path, "arrays.npz"))
+    pq = _pq_from(arrays, manifest["pq"], "pq_")
+    if manifest["type"] == "flat":
+        return FlatIndex(pq=pq, codes=jnp.asarray(arrays["codes"]), n=int(manifest["n"]))
+    if manifest["type"] == "ivf":
+        return IVFIndex(
+            pq=pq,
+            coarse_centroids=jnp.asarray(arrays["coarse_centroids"]),
+            codes=jnp.asarray(arrays["codes"]),
+            labels=jnp.asarray(arrays["labels"]),
+            part_sizes=jnp.asarray(arrays["part_sizes"]),
+            n=int(manifest["n"]),
+            max_part_size=int(manifest["max_part_size"]),
+        )
+    raise ValueError(f"unknown index type {manifest['type']}")

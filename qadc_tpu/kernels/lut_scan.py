@@ -1,0 +1,239 @@
+"""Pallas TPU LUT-scan kernel — the Quick ADC hot loop, TPU-native.
+
+Reference hot loop: scan_avx_4 (simd_scan.hpp:125-187) — per 16 codes, two
+pshufb LUT lookups per code byte, saturating int8 adds, bound-compare, heap.
+
+TPU formulation (see ARCHITECTURE.md): the 16-entry LUT gather is a one-hot ×
+table matmul on the MXU, serving a whole query batch per pass over the codes:
+
+    acc[BLK, Q] = OneHotLo(codes)[BLK, 8M] @ tables_lo[8M, Q]
+                + OneHotHi(codes)[BLK, 8M] @ tables_hi[8M, Q]   (int8 -> int32)
+
+Measured design decisions (TPU v5e, 1M codes x 128 queries):
+  - One-hots are built in VMEM per block via a tiny MXU expansion matmul
+    rep = nibbles @ E (E: (M/2, 8M) placement matrix) followed by ONE vector
+    compare against a hoisted per-lane constant — 3.2x faster than
+    pltpu.repeat-based construction (which Mosaic lowers poorly).
+  - The branchy bound-pruned binheap becomes a STRIDED windowed min fused into
+    the kernel: within each block, window g = rows {g, g+G, g+2G, ...} so the
+    reduction is W-1 elementwise mins over contiguous tile-aligned slices (a
+    (G,W,Q) reshape triggers a full relayout and was ~3x slower end-to-end).
+    N/W candidates per query survive; exact top-k runs outside. Losing a true
+    top-r member needs two of them in one window: P ~ r^2*W/(2N) (negligible
+    at production ratios; keep N/W >> r).
+  - int32 accumulation (no 127 saturation): strictly more informative than the
+    reference's saturating adds, free on the MXU.
+  - Query batching amortizes: the same one-hot feeds all Q columns of the dot,
+    so wider query batches cost only MXU time, not construction.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DEFAULT_BLOCK_N = 1024
+DEFAULT_WINDOW = 16
+
+
+def _on_tpu() -> bool:
+    return jax.default_backend() == "tpu"
+
+
+def build_scan_tables(qtables, q_pad: int | None = None):
+    """Permute int8 tables into the kernel's (8M, Qp) low/high layout.
+
+    Row order is J-MAJOR: row j*(M/2) + b is sub-quantizer 2b (lo) / 2b+1 (hi),
+    centroid j — matching the kernel's lane expansion ([b0..b_{M/2-1}] tiled
+    16x across lanes). The nibble packing itself is the reference's (even sq ->
+    low nibble, quantizers.hpp:49-68).
+
+    Args:
+      qtables: (Q, M, 16) int8 quantized tables.
+      q_pad: pad query dim to this (default: next multiple of 128).
+
+    Returns:
+      (tables_lo, tables_hi): each ((M/2)*16, Qp) int8.
+    """
+    q, m, k = qtables.shape
+    assert k == 16 and m % 2 == 0
+    if q_pad is None:
+        q_pad = -(-q // 128) * 128
+    lo = qtables[:, 0::2, :]  # (Q, M/2, 16) — even sqs
+    hi = qtables[:, 1::2, :]
+    # (Q, M/2, 16) -> (Q, 16, M/2) -> rows j*(M/2)+b
+    lo = lo.transpose(0, 2, 1).reshape(q, (m // 2) * 16).T
+    hi = hi.transpose(0, 2, 1).reshape(q, (m // 2) * 16).T
+    pad = [(0, 0), (0, q_pad - q)]
+    return jnp.pad(lo, pad), jnp.pad(hi, pad)
+
+
+@functools.lru_cache(maxsize=None)
+def _expand_consts_np(cb: int):
+    """Cached NUMPY (E, jpat) — numpy so values cached here never leak tracers."""
+    lanes = 16 * cb
+    e = np.zeros((cb, lanes), np.float32)
+    for b in range(cb):
+        e[b, np.arange(16) * cb + b] = 1.0
+    jpat = np.broadcast_to((np.arange(lanes) // cb).astype(np.float32), (8, lanes))
+    return e, np.ascontiguousarray(jpat)
+
+
+def _expand_consts(cb: int):
+    """(E, jpat) constants for the lane expansion.
+
+    E: (cb, 16*cb) bf16 placement matrix, E[b, j*cb+b] = 1 for all j, so
+    (nibbles @ E)[n, j*cb+b] = nib[n, b].
+    jpat: (8, 16*cb) f32, lane l -> centroid id l // cb.
+    """
+    e, jpat = _expand_consts_np(cb)
+    return jnp.asarray(e, jnp.bfloat16), jnp.asarray(jpat)
+
+
+def _scan_kernel(
+    codes_ref, tlo_ref, thi_ref, jpat_ref, e_ref, vals_ref, idx_ref, *, window, acc_dtype
+):
+    """One grid step: scan BLK codes for all Qp queries; emit window minima."""
+    blk, cb = codes_ref.shape  # (BLK, M/2) uint8
+    g = blk // window
+    qp = tlo_ref.shape[1]
+
+    c = codes_ref[...].astype(jnp.int32)
+    lo = (c & 0x0F).astype(jnp.bfloat16)   # (BLK, M/2) even-sq nibbles
+    hi = (c >> 4).astype(jnp.bfloat16)     # odd-sq nibbles
+
+    # Lane expansion on the MXU + one compare -> one-hot (never touches HBM).
+    e = e_ref[...]
+    rep_lo = jnp.dot(lo, e, preferred_element_type=jnp.float32)
+    rep_hi = jnp.dot(hi, e, preferred_element_type=jnp.float32)
+    jp = jpat_ref[0:1, :]
+    if acc_dtype == jnp.int32:
+        oh_lo = (rep_lo == jp).astype(jnp.int8)
+        oh_hi = (rep_hi == jp).astype(jnp.int8)
+    else:
+        oh_lo = (rep_lo == jp).astype(jnp.float32)
+        oh_hi = (rep_hi == jp).astype(jnp.float32)
+
+    acc = jnp.dot(oh_lo, tlo_ref[...], preferred_element_type=acc_dtype)
+    acc = acc + jnp.dot(oh_hi, thi_ref[...], preferred_element_type=acc_dtype)
+
+    # Strided windowed min+argmin: window g = rows {g, g+G, ...} of the block.
+    m = acc[0:g, :]
+    arg = jnp.zeros((g, qp), jnp.int32)
+    for w in range(1, window):
+        nxt = acc[w * g : (w + 1) * g, :]
+        take = nxt < m
+        m = jnp.where(take, nxt, m)
+        arg = jnp.where(take, w, arg)
+    base = pl.program_id(0) * blk
+    g_iota = jax.lax.broadcasted_iota(jnp.int32, (g, qp), 0)
+    vals_ref[...] = m
+    idx_ref[...] = base + arg * g + g_iota
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_n", "window", "interpret", "acc_dtype_name")
+)
+def lut_scan_reduce(
+    codes,
+    tables_lo,
+    tables_hi,
+    block_n: int = DEFAULT_BLOCK_N,
+    window: int = DEFAULT_WINDOW,
+    interpret: bool = False,
+    acc_dtype_name: str = "int32",
+):
+    """Scan all codes; return per-window candidate (vals, rows).
+
+    Args:
+      codes: (N_pad, M/2) uint8 packed 4-bit codes, N_pad % block_n == 0.
+      tables_lo/hi: ((M/2)*16, Qp) int8 (int32 acc) or float32 (f32 acc).
+      window: reduction window W (candidates = N_pad/W per query).
+
+    Returns:
+      (vals (N_pad/W, Qp), rows (N_pad/W, Qp) int32 global code rows).
+      Window g of block i covers rows {i*block_n + w*(block_n/W) + g}.
+    """
+    n_pad, cb = codes.shape
+    lanes = cb * 16
+    assert tables_lo.shape[0] == lanes, (tables_lo.shape, lanes)
+    qp = tables_lo.shape[1]
+    if n_pad % block_n != 0:
+        raise ValueError(f"N_pad {n_pad} not a multiple of block_n {block_n}")
+    if block_n % window != 0:
+        raise ValueError(f"block_n {block_n} not a multiple of window {window}")
+    acc_dtype = jnp.dtype(acc_dtype_name)
+    g = block_n // window
+    grid = (n_pad // block_n,)
+    e, jpat = _expand_consts(cb)
+
+    kernel = functools.partial(_scan_kernel, window=window, acc_dtype=acc_dtype)
+    vals, rows = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_n, cb), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((lanes, qp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((lanes, qp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, lanes), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((cb, lanes), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((g, qp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, qp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_pad // window, qp), acc_dtype),
+            jax.ShapeDtypeStruct((n_pad // window, qp), jnp.int32),
+        ],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * n_pad * lanes * qp,
+            bytes_accessed=n_pad * cb + 2 * lanes * qp + 2 * (n_pad // window) * qp * 4,
+            transcendentals=0,
+        ),
+    )(codes, tables_lo, tables_hi, jpat, e)
+    return vals, rows
+
+
+@functools.partial(
+    jax.jit, static_argnames=("r", "num_valid", "block_n", "window", "interpret")
+)
+def lut_scan_topk_int8(
+    codes,
+    qtables,
+    r: int,
+    num_valid: int,
+    block_n: int = DEFAULT_BLOCK_N,
+    window: int = DEFAULT_WINDOW,
+    interpret: bool = False,
+):
+    """Full Quick-ADC scan: Pallas kernel + exact top-r over window candidates.
+
+    Args:
+      codes: (N_pad, M/2) uint8.
+      qtables: (Q, M, 16) int8.
+      r: results per query.
+      num_valid: real row count (padded rows masked).
+
+    Returns:
+      (vals (Q, r) int32 quantized distances, rows (Q, r) int32 code rows).
+    """
+    q = qtables.shape[0]
+    tlo, thi = build_scan_tables(qtables)
+    vals, rows = lut_scan_reduce(
+        codes, tlo, thi, block_n=block_n, window=window, interpret=interpret
+    )
+    # Mask candidates from padded rows (window minima can come from padding).
+    big = jnp.iinfo(jnp.int32).max
+    vals = jnp.where(rows < num_valid, vals, big)
+    vals_t = vals.T[:q]   # (Q, N/W)
+    rows_t = rows.T[:q]
+    neg_top, sel = jax.lax.top_k(-vals_t, min(r, vals_t.shape[1]))
+    out_rows = jnp.take_along_axis(rows_t, sel, axis=1)
+    return -neg_top, out_rows

@@ -81,12 +81,8 @@ def _chunked_scan_topk(
     Returns (vals (Q, r), labels (Q, r)).
     """
     n = codes_packed.shape[0]
-    if n % chunk != 0:
-        raise ValueError(f"chunk {chunk} must divide padded N={n}")
-    n_chunks = n // chunk
-    codes_r = codes_packed.reshape(n_chunks, chunk, codes_packed.shape[1])
-    labels_r = labels.reshape(n_chunks, chunk)
-    row_base = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
+    n_main = (n // chunk) * chunk
+    n_chunks = n_main // chunk
     col = jnp.arange(chunk, dtype=jnp.int32)
 
     def body(carry, inp):
@@ -105,7 +101,19 @@ def _chunked_scan_topk(
         jnp.full((q, r), jnp.inf, jnp.float32),
         jnp.zeros((q, r), jnp.int32),
     )
+    codes_r = codes_packed[:n_main].reshape(n_chunks, chunk, codes_packed.shape[1])
+    labels_r = labels[:n_main].reshape(n_chunks, chunk)
+    row_base = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
     (vals, labs), _ = jax.lax.scan(body, init, (codes_r, labels_r, row_base))
+    if n_main < n:  # tail that chunk does not divide
+        tail = n - n_main
+        d = scan_chunk_fn(codes_packed[n_main:]).astype(jnp.float32)
+        if num_valid is not None:
+            valid = (n_main + jnp.arange(tail, dtype=jnp.int32)) < num_valid
+            d = jnp.where(valid[None, :], d, jnp.inf)
+        lab = jnp.broadcast_to(labels[None, n_main:], d.shape)
+        cv, cl = topk_smallest(d, lab, min(r, tail))
+        vals, labs = merge_topk(vals, labs, cv, cl, r)
     return vals, labs
 
 

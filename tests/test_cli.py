@@ -1,0 +1,101 @@
+"""End-to-end CLI tests: the reference's executable workflows."""
+
+import numpy as np
+import pytest
+
+from qadc_tpu.cli.main import main
+from qadc_tpu.io import save_vectors
+from qadc_tpu.ops.knn import exact_knn
+
+
+@pytest.fixture(scope="module")
+def dataset(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("data")
+    rng = np.random.default_rng(0)
+    dim = 32
+    centers = rng.normal(scale=3.0, size=(10, dim)).astype(np.float32)
+    learn = (centers[rng.integers(0, 10, 2000)] + rng.normal(size=(2000, dim))).astype(np.float32)
+    base = (centers[rng.integers(0, 10, 5000)] + rng.normal(size=(5000, dim))).astype(np.float32)
+    queries = (centers[rng.integers(0, 10, 20)] + rng.normal(size=(20, dim))).astype(np.float32)
+    _, gt = exact_knn(queries, base, 10)
+    paths = {
+        "learn": str(tmp / "learn.fvecs"),
+        "base": str(tmp / "base.fvecs"),
+        "queries": str(tmp / "q.fvecs"),
+        "gt": str(tmp / "gt.ivecs"),
+        "tmp": tmp,
+    }
+    save_vectors(paths["learn"], learn)
+    save_vectors(paths["base"], base)
+    save_vectors(paths["queries"], queries)
+    save_vectors(paths["gt"], np.asarray(gt, np.int32))
+    return paths
+
+
+def test_flat_workflow(dataset, capsys):
+    idx = str(dataset["tmp"] / "flat_idx")
+    main(["create-flat", idx, "--train", dataset["learn"], "--sq", "16x4"])
+    main(["add", idx, dataset["base"], "--chunk-size", "2048"])
+    main([
+        "query", idx, dataset["queries"], dataset["gt"],
+        "-r", "100", "-k", "5", "-b", "8",
+    ])
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out[-2] == "r,recall,ma,adc_type,keep,index_us,rotate_us,table_us,scan_us"
+    fields = out[-1].split(",")
+    assert fields[0] == "100" and fields[3] == "qadc"
+    assert float(fields[1]) > 0.85  # recall
+
+
+def test_ivf_workflow(dataset, capsys):
+    idx = str(dataset["tmp"] / "ivf_idx")
+    main(["create-index", dataset["learn"], idx, "--parts", "16", "--sq", "16x4"])
+    main(["add", idx, dataset["base"]])
+    main([
+        "query", idx, dataset["queries"], dataset["gt"],
+        "-r", "100", "-m", "8", "-k", "10", "-b", "8",
+    ])
+    out = capsys.readouterr().out.strip().splitlines()
+    fields = out[-1].split(",")
+    assert float(fields[1]) > 0.8, fields
+    # conventional ADC path on the same index
+    main([
+        "query", idx, dataset["queries"], dataset["gt"],
+        "-r", "100", "-m", "8", "--adc-type", "adc", "-b", "8",
+    ])
+    out2 = capsys.readouterr().out.strip().splitlines()
+    assert out2[-2] == "r,recall,ma,adc_type,index_us,rotate_us,table_us,scan_us"
+    assert float(out2[-1].split(",")[1]) > 0.8
+
+
+def test_split_cli(dataset):
+    out = str(dataset["tmp"] / "chunk.fvecs")
+    main(["split", "1", "1000", dataset["base"], out])
+    from qadc_tpu.io import vecs_info
+
+    assert vecs_info(out) == (32, 1000)
+
+
+def test_convert_quantizer(dataset):
+    import pickle
+
+    rng = np.random.default_rng(1)
+    cb = rng.normal(size=(4, 16, 8)).astype(np.float32)
+    pin = str(dataset["tmp"] / "q.pickle")
+    with open(pin, "wb") as f:
+        pickle.dump(cb, f)
+    out = str(dataset["tmp"] / "conv.pq.data")
+    main(["convert-quantizer", "pq", pin, out])
+    from qadc_tpu.io import load_quantizer_file
+
+    pq = load_quantizer_file(out)
+    np.testing.assert_allclose(np.asarray(pq.centroids), cb)
+
+    rot = np.linalg.qr(rng.normal(size=(32, 32)))[0].astype(np.float32)
+    pin2 = str(dataset["tmp"] / "q2.pickle")
+    with open(pin2, "wb") as f:
+        pickle.dump((cb, rot), f)
+    out2 = str(dataset["tmp"] / "conv.opq.data")
+    main(["convert-quantizer", "opq", pin2, out2])
+    opq = load_quantizer_file(out2)
+    np.testing.assert_allclose(np.asarray(opq.rotation), rot)

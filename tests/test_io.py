@@ -1,0 +1,124 @@
+import os
+
+import numpy as np
+import jax
+import pytest
+
+from qadc_tpu.io.vecs import load_vectors, save_vectors, split_vecs, vecs_info
+from qadc_tpu.io.stream import VectorStream
+from qadc_tpu.io.quantizer_files import load_quantizer_file, save_quantizer_file
+from qadc_tpu.io.checkpoint import load_index, save_index
+from qadc_tpu.io.native import get_lib
+from qadc_tpu.quantizers.pq import train_pq
+from qadc_tpu.quantizers.opq import train_opq
+from qadc_tpu.index import flat, ivf
+
+
+@pytest.mark.parametrize("ext,dtype", [(".fvecs", np.float32), (".ivecs", np.int32), (".bvecs", np.uint8)])
+def test_vecs_roundtrip(tmp_path, rng, ext, dtype):
+    path = str(tmp_path / f"x{ext}")
+    if dtype == np.float32:
+        data = rng.normal(size=(50, 12)).astype(dtype)
+    else:
+        data = rng.integers(0, 100, size=(50, 12)).astype(dtype)
+    save_vectors(path, data)
+    assert vecs_info(path) == (12, 50)
+    out = load_vectors(path, to_float=False)
+    assert out.dtype == dtype
+    np.testing.assert_array_equal(out, data)
+    # float conversion + ranged read
+    outf = load_vectors(path, offset=10, count=20)
+    np.testing.assert_allclose(outf, data[10:30].astype(np.float32))
+
+
+def test_vecs_native_lib_builds():
+    """The C++ fast path must actually build in this image."""
+    assert get_lib() is not None
+
+
+def test_vecs_matches_manual_format(tmp_path):
+    """Byte-level format check against the TexMex spec."""
+    path = str(tmp_path / "t.fvecs")
+    data = np.array([[1.5, -2.0], [3.0, 4.0]], np.float32)
+    save_vectors(path, data)
+    raw = open(path, "rb").read()
+    assert len(raw) == 2 * (4 + 8)
+    assert np.frombuffer(raw[0:4], np.int32)[0] == 2
+    np.testing.assert_array_equal(np.frombuffer(raw[4:12], np.float32), data[0])
+
+
+def test_split_vecs(tmp_path, rng):
+    path = str(tmp_path / "x.fvecs")
+    out = str(tmp_path / "chunk.fvecs")
+    data = rng.normal(size=(100, 8)).astype(np.float32)
+    save_vectors(path, data)
+    split_vecs(path, out, chunk_id=1, chunk_size=30)
+    got = load_vectors(out)
+    np.testing.assert_allclose(got, data[30:60])
+    # Tail chunk is truncated.
+    split_vecs(path, out, chunk_id=3, chunk_size=30)
+    assert vecs_info(out) == (8, 10)
+
+
+def test_stream(tmp_path, rng):
+    path = str(tmp_path / "x.fvecs")
+    data = rng.normal(size=(100, 8)).astype(np.float32)
+    save_vectors(path, data)
+    stream = VectorStream(path, chunk_size=32)
+    chunks = list(stream)
+    assert [off for off, _ in chunks] == [0, 32, 64, 96]
+    np.testing.assert_allclose(np.concatenate([c for _, c in chunks]), data)
+
+
+def test_quantizer_file_roundtrip(tmp_path, rng):
+    x = rng.normal(size=(500, 16)).astype(np.float32)
+    pq = train_pq(jax.random.PRNGKey(0), x, 4, 4, iters=3)
+    p = str(tmp_path / "q.pq.data")
+    save_quantizer_file(p, pq)
+    pq2 = load_quantizer_file(p)
+    np.testing.assert_allclose(np.asarray(pq2.centroids), np.asarray(pq.centroids))
+    assert pq2.sq_bits == 4
+
+    opq = train_opq(jax.random.PRNGKey(0), x, 4, 4, opq_iters=2, kmeans_iters=3)
+    po = str(tmp_path / "q.opq.data")
+    save_quantizer_file(po, opq)
+    opq2 = load_quantizer_file(po)
+    np.testing.assert_allclose(np.asarray(opq2.rotation), np.asarray(opq.rotation))
+
+    with pytest.raises(ValueError):
+        save_quantizer_file(str(tmp_path / "q2.pq.data"), opq)
+
+
+def test_quantizer_file_reference_layout(tmp_path, rng):
+    """Binary layout matches the reference README spec."""
+    x = rng.normal(size=(300, 8)).astype(np.float32)
+    pq = train_pq(jax.random.PRNGKey(0), x, 2, 4, iters=2)
+    p = str(tmp_path / "q.pq.data")
+    save_quantizer_file(p, pq)
+    raw = open(p, "rb").read()
+    dim, m, b = np.frombuffer(raw[:12], np.int32)
+    assert (dim, m, b) == (8, 2, 4)
+    cb = np.frombuffer(raw[12:], np.float32)
+    assert cb.size == m * (1 << b) * (dim // m)
+
+
+def test_index_checkpoint_roundtrip(tmp_path, rng):
+    base = rng.normal(size=(600, 16)).astype(np.float32)
+    pq = train_pq(jax.random.PRNGKey(0), base, 4, 4, iters=3)
+    index = flat.add(flat.FlatIndex.create(pq), base)
+    save_index(str(tmp_path / "flat"), index)
+    loaded = load_index(str(tmp_path / "flat"))
+    assert loaded.n == index.n
+    np.testing.assert_array_equal(np.asarray(loaded.codes), np.asarray(index.codes))
+    d1, l1 = flat.search_adc(index, base[:3], r=5)
+    d2, l2 = flat.search_adc(loaded, base[:3], r=5)
+    np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+
+    coarse = ivf.train_coarse(jax.random.PRNGKey(1), base, 8, iters=5)
+    iv = ivf.add(ivf.IVFIndex.create(pq, coarse), base)
+    save_index(str(tmp_path / "ivf"), iv)
+    loaded2 = load_index(str(tmp_path / "ivf"))
+    assert loaded2.n == iv.n and loaded2.max_part_size == iv.max_part_size
+    d3, l3 = ivf.search_adc(iv, base[:3], r=5, ma=3)
+    d4, l4 = ivf.search_adc(loaded2, base[:3], r=5, ma=3)
+    np.testing.assert_array_equal(np.asarray(l3), np.asarray(l4))

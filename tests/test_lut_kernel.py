@@ -1,0 +1,122 @@
+"""Pallas kernel parity vs the jnp reference scan (interpret mode on CPU)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from qadc_tpu.core.packing import pack_codes
+from qadc_tpu.kernels.lut_scan import build_scan_tables, lut_scan_reduce, lut_scan_topk_int8
+from qadc_tpu.kernels.scan_ref import adc_scan_int8
+
+
+def _setup(rng, n=4096, m=16, q=5):
+    idx = rng.integers(0, 16, size=(n, m))
+    packed = np.asarray(pack_codes(idx, 4))
+    qt = rng.integers(0, 127, size=(q, m, 16)).astype(np.int8)
+    return packed, qt
+
+
+def _strided_window_min(full, blk, window):
+    """Simulate the kernel's strided windows: full (Q, N) -> (N/W, Q).
+
+    Within each block of blk rows, window g = rows {g, g+G, ...}, G=blk/W.
+    """
+    q, n = full.shape
+    g = blk // window
+    shaped = full.T.reshape(n // blk, window, g, q)
+    return shaped.min(axis=1).reshape(n // window, q)
+
+
+def test_build_scan_tables_layout(rng):
+    q, m = 3, 16
+    qt = rng.integers(0, 127, size=(q, m, 16)).astype(np.int8)
+    tlo, thi = build_scan_tables(jnp.asarray(qt))
+    assert tlo.shape == ((m // 2) * 16, 128)
+    cb = m // 2
+    for b in range(cb):
+        for j in range(16):  # j-major rows (kernel lane expansion order)
+            np.testing.assert_array_equal(np.asarray(tlo)[j * cb + b, :q], qt[:, 2 * b, j])
+            np.testing.assert_array_equal(np.asarray(thi)[j * cb + b, :q], qt[:, 2 * b + 1, j])
+
+
+def test_kernel_matches_reference_scan(rng):
+    packed, qt = _setup(rng)
+    q = qt.shape[0]
+    full = np.asarray(adc_scan_int8(packed, jnp.asarray(qt), saturate=False))  # (Q, N)
+
+    tlo, thi = build_scan_tables(jnp.asarray(qt))
+    vals, rows = lut_scan_reduce(
+        jnp.asarray(packed), tlo, thi, block_n=1024, window=16, interpret=True
+    )
+    vals, rows = np.asarray(vals), np.asarray(rows)
+    assert vals.shape == (4096 // 16, 128)
+    want = _strided_window_min(full, 1024, 16)
+    np.testing.assert_array_equal(vals[:, :q], want)
+    # argmin rows point at codes achieving the min
+    for g in range(0, 256, 37):
+        for qi in range(q):
+            assert full[qi, rows[g, qi]] == vals[g, qi]
+
+
+def test_kernel_topk_matches_exact(rng):
+    packed, qt = _setup(rng)
+    q = qt.shape[0]
+    n_valid = 4000  # padded region rows 4000..4095 must be masked
+    full_all = np.asarray(adc_scan_int8(packed, jnp.asarray(qt), saturate=False))
+    full = full_all[:, :n_valid]
+    r = 50
+    vals, rows = lut_scan_topk_int8(
+        jnp.asarray(packed), jnp.asarray(qt), r, n_valid,
+        block_n=1024, window=16, interpret=True,
+    )
+    vals, rows = np.asarray(vals), np.asarray(rows)
+    assert rows.max() < n_valid
+    # Every returned value is the true distance of its row.
+    for qi in range(q):
+        np.testing.assert_array_equal(full[qi, rows[qi]], vals[qi])
+    # Exact parity with a numpy simulation of the reduction + masking.
+    masked = full_all.astype(np.int64).copy()
+    masked[:, n_valid:] = np.iinfo(np.int32).max
+    sim = _strided_window_min(masked, 1024, 16)  # (N/W, Q)
+    for qi in range(q):
+        np.testing.assert_array_equal(np.sort(vals[qi]), np.sort(sim[:, qi])[:r])
+    # Membership vs the exact top-r: window collisions lose only a few members
+    # (here r=50 of just 250 windows — far harsher than production ratios).
+    exact = np.sort(full, axis=1)[:, :r]
+    for qi in range(q):
+        got = list(np.sort(vals[qi]))
+        kept = 0
+        for v in exact[qi]:
+            if v in got:
+                got.remove(v)
+                kept += 1
+        assert kept >= r - 12, (qi, kept)
+
+
+@pytest.mark.parametrize("m", [16, 32])
+def test_kernel_sq_counts(rng, m):
+    packed, qt = _setup(rng, n=2048, m=m, q=3)
+    full = np.asarray(adc_scan_int8(packed, jnp.asarray(qt), saturate=False))
+    tlo, thi = build_scan_tables(jnp.asarray(qt))
+    vals, rows = lut_scan_reduce(
+        jnp.asarray(packed), tlo, thi, block_n=512, window=8, interpret=True
+    )
+    want = _strided_window_min(full, 512, 8)
+    np.testing.assert_array_equal(np.asarray(vals)[:, :3], want[:, :3])
+
+
+def test_kernel_float_tables(rng):
+    """f32 accumulation path (conventional ADC tables on the same kernel)."""
+    packed, _ = _setup(rng, n=1024, m=16, q=3)
+    tables = rng.uniform(0, 10, size=(3, 16, 16)).astype(np.float32)
+    from qadc_tpu.kernels.scan_ref import adc_scan_f32
+
+    full = np.asarray(adc_scan_f32(packed, jnp.asarray(tables), 4))
+    tlo, thi = build_scan_tables(jnp.asarray(tables))
+    vals, rows = lut_scan_reduce(
+        jnp.asarray(packed), tlo.astype(jnp.float32), thi.astype(jnp.float32),
+        block_n=512, window=8, interpret=True, acc_dtype_name="float32",
+    )
+    want = _strided_window_min(full, 512, 8)
+    np.testing.assert_allclose(np.asarray(vals)[:, :3], want[:, :3], rtol=1e-5, atol=1e-4)
