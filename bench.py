@@ -62,6 +62,11 @@ def main():
     dt = (time.time() - t0) / (iters * k_inner)
 
     cq_per_s = n * q / dt
+
+    # --- End-to-end IVF-256 Quick-ADC search (the reference's headline
+    # config: SIFT1M geometry, ma=24, r=100), synthetic codes.
+    ivf_us_per_query = _bench_ivf_e2e(rng)
+
     print(
         json.dumps(
             {
@@ -73,11 +78,66 @@ def main():
                     "scan_ms_per_1M_codes_q128": dt * 1e3,
                     "us_per_query_per_1M_codes": dt * 1e6 / q,
                     "codes_GBps": n * (m // 2) / dt / 1e9,
+                    "ivf256_ma24_r100_us_per_query_e2e": ivf_us_per_query,
+                    "ivf_vs_reference_total_120us": 120.0 / ivf_us_per_query,
                     "backend": jax.default_backend(),
                 },
             }
         )
     )
+
+
+def _bench_ivf_e2e(rng):
+    """Full IVF search per-query latency (SIFT1M-like geometry, batch 128).
+
+    Reference comparison: IVF-256 SIFT1M OPQ 16x4 Quick ADC at ma=24 totals
+    ~120 us/query (index 7 + rotate 13 + table 14 + scan 86, README.md:329-330).
+    """
+    import jax
+    import jax.numpy as jnp
+    from qadc_tpu.index import ivf
+    from qadc_tpu.index.ivf import IVFIndex
+    from qadc_tpu.quantizers.pq import ProductQuantizer
+
+    dim, parts, part_pad, m, q, ma = 128, 256, 4096, 16, 128, 24
+    pq = ProductQuantizer(
+        centroids=jnp.asarray(
+            rng.normal(size=(m, 16, dim // m)).astype(np.float32)
+        ),
+        sq_bits=4,
+    )
+    index = IVFIndex(
+        pq=pq,
+        coarse_centroids=jnp.asarray(rng.normal(size=(parts, dim)).astype(np.float32)),
+        codes=jnp.asarray(
+            rng.integers(0, 256, size=(parts, part_pad, 8), dtype=np.uint8)
+        ),
+        labels=jnp.asarray(
+            np.arange(parts * part_pad, dtype=np.int32).reshape(parts, part_pad)
+        ),
+        part_sizes=jnp.asarray(np.full((parts,), 3906, np.int32)),
+        n=parts * 3906,
+        max_part_size=3906,
+    )
+    queries = jnp.asarray(rng.normal(size=(q, dim)).astype(np.float32))
+
+    k_inner = 8
+
+    @jax.jit
+    def chained(qs):
+        tap = jnp.float32(0)
+        for _ in range(k_inner):
+            d, _ = ivf.search_qadc(index, qs + tap * 1e-12, r=100, ma=ma, keep=0.005)
+            tap = d.sum()
+        return tap
+
+    _ = float(chained(queries))
+    iters = 3
+    t0 = time.time()
+    for _ in range(iters):
+        _ = float(chained(queries))
+    dt = (time.time() - t0) / (iters * k_inner)
+    return dt * 1e6 / q
 
 
 if __name__ == "__main__":

@@ -27,6 +27,10 @@ from qadc_tpu.ops.topk import topk_smallest
 from qadc_tpu.kernels.lut_scan import (
     DEFAULT_BLOCK_N,
     DEFAULT_WINDOW,
+    build_scan_tables,
+    build_scan8_tables,
+    lut_scan_reduce,
+    lut_scan8_reduce,
     lut_scan_topk_int8,
 )
 from qadc_tpu.kernels.scan_ref import adc_scan_f32, scan_topk_f32, scan_topk_int8
@@ -97,9 +101,28 @@ def add(index: FlatIndex, vectors, encode_batch: int = 262144) -> FlatIndex:
     )
 
 
+def _exact_rerank(tables, cand_codes, sq_bits: int):
+    """Exact f32 ADC distances of candidates via table gather.
+
+    tables: (Q, M, K) f32; cand_codes: (Q, C, code_bytes) uint8.
+    Returns (Q, C) f32.
+    """
+    q, m, k = tables.shape
+    idx = unpack_codes(cand_codes, m, sq_bits)  # (Q, C, M)
+    gathered = jnp.take_along_axis(
+        tables[:, None, :, :], idx[..., None], axis=3
+    )[..., 0]
+    return jnp.sum(gathered, axis=-1)
+
+
 @partial(jax.jit, static_argnames=("r",))
 def search_adc(index: FlatIndex, queries, r: int = 100):
     """Conventional float ADC search.
+
+    On TPU the scan runs as a Pallas one-hot kernel (4-bit: int tables become
+    f32; 8-bit: 256-wide one-hot, scan_standard equivalent) with an exact-f32
+    gather rerank of the screened candidates; elsewhere the jnp path runs.
+    16-bit codes always use the jnp path (65536-wide one-hots are impractical).
 
     Args:
       queries: (Q, dim) float32.
@@ -110,10 +133,35 @@ def search_adc(index: FlatIndex, queries, r: int = 100):
     """
     rotated = index.pq.rotate(queries)  # flat assignment = identity residual
     tables = adc_tables(rotated, index.pq.centroids)  # (Q, M, K)
-    return scan_topk_f32(
-        index.codes, index.labels, tables, index.pq.sq_bits, r,
-        num_valid=index.n,
-    )
+    n_pad = index.codes.shape[0]
+    on_tpu = jax.default_backend() == "tpu"
+    enough = n_pad // DEFAULT_WINDOW >= 8 * r
+
+    if on_tpu and enough and index.pq.sq_bits == 4 and index.pq.sq_count in (16, 32) \
+            and n_pad % DEFAULT_BLOCK_N == 0:
+        tlo, thi = build_scan_tables(tables)
+        vals, rows = lut_scan_reduce(
+            index.codes, tlo.astype(jnp.float32), thi.astype(jnp.float32),
+            acc_dtype_name="float32",
+        )
+    elif on_tpu and enough and index.pq.sq_bits == 8 and n_pad % 256 == 0:
+        t8 = build_scan8_tables(tables)
+        vals, rows = lut_scan8_reduce(index.codes, t8)
+    else:
+        return scan_topk_f32(
+            index.codes, index.labels, tables, index.pq.sq_bits, r,
+            num_valid=index.n,
+        )
+
+    q = tables.shape[0]
+    vals = jnp.where(rows < index.n, vals.astype(jnp.float32), jnp.inf)
+    vals_t, rows_t = vals.T[:q], rows.T[:q]
+    rr = min(2 * r, vals_t.shape[1])
+    neg_top, sel = jax.lax.top_k(-vals_t, rr)
+    cand = jnp.take_along_axis(rows_t, sel, axis=1)       # (Q, rr) row ids
+    fd = _exact_rerank(tables, index.codes[cand], index.pq.sq_bits)
+    fd = jnp.where(jnp.isfinite(-neg_top), fd, jnp.inf)
+    return topk_smallest(fd, cand, r)
 
 
 def _prefix_size(n: int, keep: float) -> int:

@@ -37,7 +37,8 @@ from qadc_tpu.ops.tables import adc_tables
 from qadc_tpu.ops.topk import merge_topk, topk_smallest
 from qadc_tpu.quantizers.pq import ProductQuantizer, encode
 
-PART_ALIGN = 128  # partition padding granularity (rows)
+PART_ALIGN = 512  # partition padding granularity (rows); multiple of the
+                  # grouped-scan kernel block so partitions tile evenly
 
 
 @partial(
@@ -296,15 +297,170 @@ def _search_qadc_impl(
     return vals, labs
 
 
+def _quantized_tables(index, queries, r, ma, keep, prefix_pad):
+    """Shared front half: assign, tables, keep-prefix bound, int8 quantize.
+
+    Returns (parts (Q, ma), tables f32 (Q, ma, M, 16), qtables int8).
+    """
+    parts, rot = assign_queries(index, queries, ma)
+    tables = adc_tables(rot, index.pq.centroids)
+    m = index.pq.sq_count
+    tflat = tables.reshape(*tables.shape[:2], m * 16)
+    q = queries.shape[0]
+    sizes = index.part_sizes[parts]
+
+    starts_sizes = jnp.maximum(
+        1, (sizes.astype(jnp.float32) * keep).astype(jnp.int32)
+    )
+    starts_sizes = jnp.where(sizes > 0, starts_sizes, 0)
+    # Flat single-axis row gather of the keep-prefix codes.
+    part_pad = index.part_pad
+    prow = parts[:, :, None] * part_pad + jnp.arange(prefix_pad, dtype=jnp.int32)
+    pcodes_prefix = index.codes.reshape(-1, index.pq.code_size)[prow]
+    oh = _one_hot_gathered(pcodes_prefix, m, 4, jnp.float32)
+    pd = jnp.einsum("qapf,qaf->qap", oh, tflat, preferred_element_type=jnp.float32)
+    col = jnp.arange(prefix_pad, dtype=jnp.int32)
+    valid = col[None, None, :] < starts_sizes[:, :, None]
+    bound = keep_prefix_bound(
+        pd.reshape(q, ma * prefix_pad), r, valid.reshape(q, ma * prefix_pad)
+    )
+
+    tables_nn = jnp.maximum(tables, 0.0)
+    max_possible = jnp.max(jnp.sum(jnp.max(tables_nn, axis=-1), axis=-1), axis=-1)
+    bound = clamp_bound_to_max_distance(bound, max_possible)
+    qmin = jnp.min(tables_nn, axis=(-3, -2, -1))
+    qtables = quantize_tables_int8(
+        tables, bound[:, None, None, None], qmin[:, None, None, None]
+    )
+    return parts, tables, qtables
+
+
+@partial(
+    jax.jit,
+    static_argnames=("r", "ma", "keep", "prefix_pad", "rerank", "group_size",
+                     "window", "interpret"),
+)
+def _search_qadc_grouped_impl(
+    index: IVFIndex, queries, r: int, ma: int, keep: float, prefix_pad: int,
+    rerank: bool, group_size: int, window: int, interpret: bool,
+):
+    """Partition-grouped Quick-ADC IVF search (Pallas kernel path).
+
+    MoE-style routing (index/routing.py) turns per-query partition probes into
+    per-partition query groups; each group's partition is scanned ONCE with a
+    (codes x G-tables) MXU matmul via kernels.lut_scan_grouped. Replaces the
+    reference's per-query scan loop (db_query_4.cpp:287-308) with batched
+    matmuls — the TPU needs wide distance columns, not register LUTs.
+    """
+    from qadc_tpu.index.routing import route_queries
+    from qadc_tpu.kernels.lut_scan import (
+        build_scan_tables,
+        lut_scan_grouped,
+        window_rows,
+    )
+
+    parts, tables, qtables = _quantized_tables(index, queries, r, ma, keep, prefix_pad)
+    q = queries.shape[0]
+    m = index.pq.sq_count
+    qa = q * ma
+    part_pad = index.part_pad
+    lanes = (m // 2) * 16
+    block_n = 512
+
+    routed = route_queries(parts, index.part_count, group_size)
+    gcap, g = routed.gcap, routed.group_size
+
+    # Per-pair kernel tables into group slots. A direct 2-axis scatter is
+    # pathological on TPU (~1s at SIFT1M geometry); instead scatter only the
+    # PAIR IDS (one int each) and row-GATHER the table slabs.
+    tlo_pairs, thi_pairs = build_scan_tables(qtables.reshape(qa, m, 16), q_pad=qa)
+    tlo_pairs, thi_pairs = tlo_pairs.T, thi_pairs.T      # (QA, lanes)
+    qa_g = routed.qa_group.reshape(qa)
+    qa_s = routed.qa_slot.reshape(qa)
+    slot_to_pair = jnp.zeros((gcap * g,), jnp.int32).at[qa_g * g + qa_s].set(
+        jnp.arange(qa, dtype=jnp.int32)
+    )
+    # (gcap*G, lanes) -> (gcap, G, lanes) -> (gcap, lanes, G) -> (gcap*lanes, G)
+    glo = (
+        tlo_pairs[slot_to_pair].reshape(gcap, g, lanes)
+        .transpose(0, 2, 1).reshape(gcap * lanes, g)
+    )
+    ghi = (
+        thi_pairs[slot_to_pair].reshape(gcap, g, lanes)
+        .transpose(0, 2, 1).reshape(gcap * lanes, g)
+    )
+
+    # Gather the probed partitions group-major; scan -> per-window minima.
+    grouped_codes = index.codes[routed.group_part].reshape(gcap * part_pad, m // 2)
+    vals = lut_scan_grouped(
+        grouped_codes, glo, ghi, rows_per_group=part_pad,
+        block_n=block_n, window=window, interpret=interpret,
+    )
+    c = part_pad // window
+    # Per-pair window minima via a SINGLE-AXIS row gather ((slot-major rows) —
+    # multi-axis fancy gathers lower pathologically on TPU).
+    vals_rows = (
+        vals.reshape(gcap, c, g).transpose(0, 2, 1).reshape(gcap * g, c)
+    )
+    cv = vals_rows[qa_g * g + qa_s].astype(jnp.float32)   # (QA, C)
+    p_of_pair = parts.reshape(qa)
+    sz = index.part_sizes[p_of_pair]                      # (QA,)
+    win_ids = jnp.arange(c, dtype=jnp.int32)
+    all_rows = window_rows(win_ids, block_n, window)      # (C, W) local rows
+    win_has_valid = jnp.min(all_rows, axis=1)[None, :] < sz[:, None]
+    cv = jnp.where(win_has_valid, cv, jnp.inf)
+
+    # Merge windows at QUERY level (top 2r windows across the query's ma
+    # partitions), then expand EVERY row of each winning window and rank those
+    # (quantization ties inside a window are harmless; candidate volume stays
+    # Q x 2r x W instead of Q x ma x r x W).
+    wq = min(2 * r, ma * c)
+    cv_q = cv.reshape(q, ma * c)
+    neg_top, selq = jax.lax.top_k(-cv_q, wq)              # (Q, wq) into ma*C
+    sel_ai = selq // c                                     # assignment index
+    sel_wi = selq % c                                      # window in partition
+    sel_pair = jnp.arange(q, dtype=jnp.int32)[:, None] * ma + sel_ai  # (Q, wq)
+    sel_part = jnp.take_along_axis(parts, sel_ai, axis=1)  # (Q, wq)
+
+    cand_rows = window_rows(sel_wi, block_n, window)       # (Q, wq, W)
+    sel_sz = jnp.take_along_axis(sz.reshape(q, ma), sel_ai, axis=1)
+    row_valid = cand_rows < sel_sz[..., None]
+    cand_rows_c = jnp.minimum(cand_rows, part_pad - 1)
+    flat_rows = sel_part[..., None] * part_pad + cand_rows_c    # (Q, wq, W)
+    cand_lab = index.labels.reshape(-1)[flat_rows]              # (Q, wq, W)
+    cand_codes = index.codes.reshape(-1, m // 2)[flat_rows]     # (Q, wq, W, cb)
+    idx = unpack_codes(cand_codes, m, 4)                   # (Q, wq, W, M)
+    # Exact per-candidate distance WITHOUT gathers: 16 vectorized
+    # select-accumulate passes (element gathers lower pathologically on TPU).
+    if rerank:
+        tw = tables.reshape(qa, m, 16)[sel_pair]           # (Q, wq, M, 16) rows
+    else:
+        tw = qtables.reshape(qa, m, 16).astype(jnp.float32)[sel_pair]
+    cvf = jnp.zeros((q, wq, window), jnp.float32)
+    for j in range(16):
+        cvf = cvf + jnp.sum(
+            jnp.where(idx == j, tw[:, :, None, :, j], 0.0), axis=-1
+        )
+    cvf = cvf.reshape(q, wq * window)
+    alive = row_valid.reshape(q, wq * window) & jnp.repeat(
+        jnp.isfinite(-neg_top), window, axis=1
+    )
+    cvf = jnp.where(alive, cvf, jnp.inf)
+    return topk_smallest(cvf, cand_lab.reshape(q, wq * window), r)
+
+
 def search_qadc(
     index: IVFIndex, queries, r: int = 100, ma: int = 1, keep: float = 0.01,
-    rerank: bool = True,
+    rerank: bool = True, grouped: bool | None = None, group_size: int = 64,
+    grouped_window: int = 8, interpret: bool = False,
 ):
     """Quick-ADC IVF search (reference: db_query_4.cpp; requires sq_bits==4).
 
     rerank: float-rerank the int8-screened candidates per assignment (see
     flat.search_qadc) — default on; pass False for reference-style ranking by
     quantized distance.
+    grouped: use the partition-grouped Pallas kernel path (default: on TPU
+    when geometry allows).
 
     Returns (dists (Q, r) float32, labels (Q, r) int32).
     """
@@ -312,4 +468,15 @@ def search_qadc(
         raise ValueError("Quick ADC requires sq_bits == 4")
     prefix_pad = max(1, int(index.max_part_size * keep)) if index.max_part_size else 1
     prefix_pad = min(prefix_pad, index.part_pad)
+    if grouped is None:
+        grouped = (
+            jax.default_backend() == "tpu"
+            and index.pq.sq_count in (16, 32)
+            and index.part_pad % 512 == 0
+        )
+    if grouped:
+        return _search_qadc_grouped_impl(
+            index, queries, r, ma, keep, prefix_pad, rerank,
+            group_size, grouped_window, interpret,
+        )
     return _search_qadc_impl(index, queries, r, ma, keep, prefix_pad, rerank)

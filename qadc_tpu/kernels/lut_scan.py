@@ -201,6 +201,231 @@ def lut_scan_reduce(
     return vals, rows
 
 
+def _grouped_scan_kernel(
+    codes_ref, tlo_ref, thi_ref, jpat_ref, e_ref, vals_ref, *, window, acc_dtype
+):
+    """Grouped variant: table blocks are the current group's (lanes, G) slab.
+
+    Emits only window-min VALUES (no argmin): the caller reranks whole winning
+    windows, which both removes the argmin bookkeeping and makes quantization
+    ties harmless (any window containing a true neighbor surfaces it at
+    rerank; per-row argmin would drop tied neighbors ~W/N_ties of the time).
+    """
+    blk, cb = codes_ref.shape
+    g = blk // window
+
+    c = codes_ref[...].astype(jnp.int32)
+    lo = (c & 0x0F).astype(jnp.bfloat16)
+    hi = (c >> 4).astype(jnp.bfloat16)
+    e = e_ref[...]
+    rep_lo = jnp.dot(lo, e, preferred_element_type=jnp.float32)
+    rep_hi = jnp.dot(hi, e, preferred_element_type=jnp.float32)
+    jp = jpat_ref[0:1, :]
+    oh_lo = (rep_lo == jp).astype(jnp.int8)
+    oh_hi = (rep_hi == jp).astype(jnp.int8)
+
+    acc = jnp.dot(oh_lo, tlo_ref[...], preferred_element_type=acc_dtype)
+    acc = acc + jnp.dot(oh_hi, thi_ref[...], preferred_element_type=acc_dtype)
+
+    m = acc[0:g, :]
+    for w in range(1, window):
+        m = jnp.minimum(m, acc[w * g : (w + 1) * g, :])
+    vals_ref[...] = m
+
+
+@functools.partial(
+    jax.jit, static_argnames=("rows_per_group", "block_n", "window", "interpret")
+)
+def lut_scan_grouped(
+    grouped_codes,
+    tables_lo,
+    tables_hi,
+    rows_per_group: int,
+    block_n: int = 512,
+    window: int = DEFAULT_WINDOW,
+    interpret: bool = False,
+):
+    """Grouped IVF scan: group gi scans its own rows with its own tables.
+
+    Args:
+      grouped_codes: (GCAP * rows_per_group, M/2) uint8 — group-major rows
+        (the gathered probed partitions).
+      tables_lo/hi: (GCAP * (M/2)*16, G) int8 — per-group table slabs,
+        group-major rows.
+      rows_per_group: padded partition size (static).
+      block_n: rows per kernel block; must divide rows_per_group.
+
+    Returns:
+      vals (GCAP*rows_per_group/W, G) int32 — window-min values. Window wi of
+      group gi (wi in [0, rows_per_group/W)) covers the group's local rows
+      {(wi // gr)*block_n + w*gr + (wi % gr) : w in [0, W)}, gr = block_n/W
+      (see window_rows).
+    """
+    total, cb = grouped_codes.shape
+    lanes = cb * 16
+    total_t, gq = tables_lo.shape
+    gcap = total_t // lanes
+    assert total_t == gcap * lanes, (tables_lo.shape, lanes)
+    assert total == gcap * rows_per_group, (total, gcap, rows_per_group)
+    if rows_per_group % block_n != 0:
+        raise ValueError(f"block_n {block_n} must divide rows_per_group {rows_per_group}")
+    if block_n % window != 0:
+        raise ValueError(f"block_n {block_n} not a multiple of window {window}")
+    nblocks = rows_per_group // block_n
+    g = block_n // window
+    grid = (gcap * nblocks,)
+    e, jpat = _expand_consts(cb)
+
+    kernel = functools.partial(
+        _grouped_scan_kernel, window=window, acc_dtype=jnp.int32
+    )
+    vals = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_n, cb), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (lanes, gq), lambda i: (i // nblocks, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (lanes, gq), lambda i: (i // nblocks, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((8, lanes), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((cb, lanes), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((g, gq), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((total // window, gq), jnp.int32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * total * lanes * gq,
+            bytes_accessed=total * cb + 2 * gcap * lanes * gq
+            + (total // window) * gq * 4,
+            transcendentals=0,
+        ),
+    )(grouped_codes, tables_lo, tables_hi, jpat, e)
+    return vals
+
+
+def _scan8_kernel(codes_ref, t_ref, jpat_ref, e_ref, vals_ref, idx_ref, *, window):
+    """8-bit conventional ADC scan block: one-hot over 256 centroids per sq.
+
+    Reference: scan_standard<uint8_t, NSQ> (query_common.hpp:92-118). Tables
+    are bf16 for MXU rate; exactness is restored by the caller's f32 gather
+    rerank of the winning windows.
+    """
+    blk, m = codes_ref.shape
+    lanes = m * 256
+    g = blk // window
+
+    c = codes_ref[...].astype(jnp.bfloat16)  # 0..255 exact in bf16
+    rep = jnp.dot(c, e_ref[...], preferred_element_type=jnp.float32)
+    jp = jpat_ref[0:1, :]
+    oh = (rep == jp).astype(jnp.bfloat16)
+    acc = jnp.dot(oh, t_ref[...], preferred_element_type=jnp.float32)
+
+    m_v = acc[0:g, :]
+    arg = jnp.zeros((g, acc.shape[1]), jnp.int32)
+    for w in range(1, window):
+        nxt = acc[w * g : (w + 1) * g, :]
+        take = nxt < m_v
+        m_v = jnp.where(take, nxt, m_v)
+        arg = jnp.where(take, w, arg)
+    base = pl.program_id(0) * blk
+    g_iota = jax.lax.broadcasted_iota(jnp.int32, (g, acc.shape[1]), 0)
+    vals_ref[...] = m_v
+    idx_ref[...] = base + arg * g + g_iota
+
+
+@functools.lru_cache(maxsize=None)
+def _expand8_consts_np(m: int):
+    lanes = 256 * m
+    e = np.zeros((m, lanes), np.float32)
+    for b in range(m):
+        e[b, np.arange(256) * m + b] = 1.0
+    jpat = np.broadcast_to((np.arange(lanes) // m).astype(np.float32), (8, lanes))
+    return e, np.ascontiguousarray(jpat)
+
+
+def build_scan8_tables(tables, q_pad: int | None = None):
+    """(Q, M, 256) float tables -> (M*256, Qp) bf16 in j-major row order."""
+    q, m, k = tables.shape
+    assert k == 256
+    if q_pad is None:
+        q_pad = -(-q // 128) * 128
+    t = tables.transpose(0, 2, 1).reshape(q, m * 256).T  # rows j*M+b
+    return jnp.pad(t, [(0, 0), (0, q_pad - q)]).astype(jnp.bfloat16)
+
+
+@functools.partial(jax.jit, static_argnames=("block_n", "window", "interpret"))
+def lut_scan8_reduce(
+    codes, tables, block_n: int = 256, window: int = DEFAULT_WINDOW,
+    interpret: bool = False,
+):
+    """8-bit ADC scan over all codes: window minima + argmin rows.
+
+    Args:
+      codes: (N_pad, M) uint8 — one byte per sub-quantizer.
+      tables: (M*256, Qp) bf16 (from build_scan8_tables).
+
+    Returns:
+      (vals (N_pad/W, Qp) f32, rows (N_pad/W, Qp) int32).
+    """
+    n_pad, m = codes.shape
+    lanes = m * 256
+    assert tables.shape[0] == lanes
+    qp = tables.shape[1]
+    if n_pad % block_n != 0:
+        raise ValueError(f"N_pad {n_pad} not a multiple of block_n {block_n}")
+    g = block_n // window
+    e_np, jpat_np = _expand8_consts_np(m)
+    e = jnp.asarray(e_np, jnp.bfloat16)
+    jpat = jnp.asarray(jpat_np)
+
+    kernel = functools.partial(_scan8_kernel, window=window)
+    vals, rows = pl.pallas_call(
+        kernel,
+        grid=(n_pad // block_n,),
+        in_specs=[
+            pl.BlockSpec((block_n, m), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((lanes, qp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, lanes), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((m, lanes), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((g, qp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, qp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_pad // window, qp), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad // window, qp), jnp.int32),
+        ],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_pad * lanes * qp * 2,
+            bytes_accessed=n_pad * m + 2 * lanes * qp,
+            transcendentals=0,
+        ),
+    )(codes, tables, jpat, e)
+    return vals, rows
+
+
+def window_rows(window_ids, block_n: int, window: int):
+    """Expand window ids to the local rows they cover.
+
+    Args:
+      window_ids: (..., K) int32 window indices (within one group's row space).
+      block_n, window: the lut_scan_grouped geometry.
+
+    Returns:
+      (..., K, window) int32 local rows.
+    """
+    gr = block_n // window
+    b = window_ids // gr
+    s = window_ids % gr
+    w = jnp.arange(window, dtype=jnp.int32)
+    return b[..., None] * block_n + w * gr + s[..., None]
+
+
 @functools.partial(
     jax.jit, static_argnames=("r", "num_valid", "block_n", "window", "interpret")
 )
