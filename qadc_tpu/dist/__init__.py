@@ -5,6 +5,7 @@ from qadc_tpu.dist.sharded import (
     search_adc_flat_sharded,
     search_query_parallel,
 )
+from qadc_tpu.dist.sharded_ivf import shard_ivf_partitions, search_qadc_ivf_sharded
 
 __all__ = [
     "make_mesh",
@@ -12,4 +13,6 @@ __all__ = [
     "search_qadc_flat_sharded",
     "search_adc_flat_sharded",
     "search_query_parallel",
+    "shard_ivf_partitions",
+    "search_qadc_ivf_sharded",
 ]

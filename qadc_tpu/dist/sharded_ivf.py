@@ -1,0 +1,253 @@
+"""Partition-sharded IVF search over a device mesh.
+
+The Deep100M-class configuration (SURVEY §6): partitions are sharded across
+chips/hosts (each device owns P/D partitions' codes+labels), the coarse
+quantizer and PQ are replicated (KiB-scale), and queries are replicated.
+Per query batch:
+
+  1. assignment runs replicated (centroids are tiny);
+  2. each shard computes keep-prefix distances for the (query, assignment)
+     pairs whose partition it OWNS; a psum assembles the global per-query
+     bound (pairs partition disjointly across shards);
+  3. tables quantize replicated; each shard routes its owned pairs
+     (index/routing.py) and scans them with the grouped kernel;
+  4. each shard emits its local top-r (dist, label) pairs; one all_gather +
+     local k-select merges — compute and memory both scale with 1/D.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from qadc_tpu.core.packing import unpack_codes
+from qadc_tpu.dist.mesh import SHARD_AXIS, make_mesh
+from qadc_tpu.index.ivf import IVFIndex, assign_queries
+from qadc_tpu.index.routing import route_queries
+from qadc_tpu.kernels.lut_scan import (
+    build_scan_tables,
+    lut_scan_grouped,
+    window_rows,
+)
+from qadc_tpu.ops.quantization import (
+    clamp_bound_to_max_distance,
+    keep_prefix_bound,
+    quantize_tables_int8,
+)
+from qadc_tpu.ops.tables import adc_tables
+from qadc_tpu.ops.topk import topk_smallest
+
+
+def shard_ivf_partitions(index: IVFIndex, mesh) -> IVFIndex:
+    """Shard partitions (codes/labels/part_sizes) over the mesh; pad P to a
+    device multiple with empty partitions. Coarse centroids + PQ replicated."""
+    d = mesh.shape[SHARD_AXIS]
+    p = index.part_count
+    p_pad = -(-p // d) * d
+    codes = np.asarray(index.codes)
+    labels = np.asarray(index.labels)
+    sizes = np.asarray(index.part_sizes)
+    coarse = np.asarray(index.coarse_centroids)
+    if p_pad != p:
+        extra = p_pad - p
+        codes = np.concatenate(
+            [codes, np.zeros((extra, *codes.shape[1:]), codes.dtype)]
+        )
+        labels = np.concatenate(
+            [labels, np.zeros((extra, labels.shape[1]), labels.dtype)]
+        )
+        sizes = np.concatenate([sizes, np.zeros((extra,), sizes.dtype)])
+        # Padded coarse centroids far away so no query is assigned to them.
+        far = np.full((extra, coarse.shape[1]), 1e30, np.float32)
+        coarse = np.concatenate([coarse, far])
+    shard = NamedSharding(mesh, P(SHARD_AXIS))
+    return IVFIndex(
+        pq=index.pq,
+        coarse_centroids=jnp.asarray(coarse),  # replicated
+        codes=jax.device_put(jnp.asarray(codes), NamedSharding(mesh, P(SHARD_AXIS, None, None))),
+        labels=jax.device_put(jnp.asarray(labels), NamedSharding(mesh, P(SHARD_AXIS, None))),
+        part_sizes=jax.device_put(jnp.asarray(sizes), shard),
+        n=index.n,
+        max_part_size=index.max_part_size,
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "r", "ma", "keep", "prefix_pad", "group_size", "window", "interpret", "mesh"
+    ),
+)
+def _search_impl(
+    index: IVFIndex, queries, r: int, ma: int, keep: float, prefix_pad: int,
+    group_size: int, window: int, interpret: bool, mesh,
+):
+    d = mesh.shape[SHARD_AXIS]
+    p_total = index.part_count
+    p_loc = p_total // d
+    part_pad = index.part_pad
+    m = index.pq.sq_count
+    lanes = (m // 2) * 16
+    q = queries.shape[0]
+    qa = q * ma
+    block_n = 512
+    cb = m // 2
+
+    # Replicated front: assignment + residual tables.
+    parts, rot = assign_queries(index, queries, ma)        # (Q, ma) global ids
+    tables = adc_tables(rot, index.pq.centroids)           # (Q, ma, M, 16)
+    tables_nn = jnp.maximum(tables, 0.0)
+    max_possible = jnp.max(jnp.sum(jnp.max(tables_nn, axis=-1), axis=-1), axis=-1)
+    qmin = jnp.min(tables_nn, axis=(-3, -2, -1))
+    tflat = tables.reshape(qa, m * 16)
+
+    def local_shard(codes_l, labels_l, sizes_l, parts_g, tflat_g, maxp, qmn):
+        shard_i = jax.lax.axis_index(SHARD_AXIS)
+        offset = shard_i * p_loc
+        parts_local = parts_g - offset                      # (Q, ma)
+        owned = (parts_local >= 0) & (parts_local < p_loc)
+        parts_safe = jnp.where(owned, parts_local, 0)
+
+        tables_g = tflat_g.reshape(q, ma, m, 16)
+        sizes_pair = jnp.where(owned, sizes_l[parts_safe], 0)  # (Q, ma)
+
+        # ---- keep-prefix distances for OWNED pairs; psum assembles globally.
+        starts_sizes = jnp.maximum(
+            1, (sizes_pair.astype(jnp.float32) * keep).astype(jnp.int32)
+        )
+        starts_sizes = jnp.where(sizes_pair > 0, starts_sizes, 0)
+        prow = parts_safe[:, :, None] * part_pad + jnp.arange(
+            prefix_pad, dtype=jnp.int32
+        )
+        pcodes = codes_l.reshape(-1, cb)[prow]              # (Q, ma, pp, cb)
+        pidx = unpack_codes(pcodes, m, 4)                   # (Q, ma, pp, M)
+        pd = jnp.zeros((q, ma, prefix_pad), jnp.float32)
+        for j in range(16):
+            pd = pd + jnp.sum(
+                jnp.where(pidx == j, tables_g[:, :, None, :, j], 0.0), axis=-1
+            )
+        col = jnp.arange(prefix_pad, dtype=jnp.int32)
+        valid = (col[None, None, :] < starts_sizes[:, :, None]) & owned[:, :, None]
+        pd = jnp.where(valid, pd, 0.0)
+        pd_global = jax.lax.psum(pd, SHARD_AXIS)            # disjoint -> sum
+        valid_global = jax.lax.psum(valid.astype(jnp.int32), SHARD_AXIS) > 0
+        bound = keep_prefix_bound(
+            pd_global.reshape(q, ma * prefix_pad), r,
+            valid_global.reshape(q, ma * prefix_pad),
+        )
+        bound = clamp_bound_to_max_distance(bound, maxp)
+
+        qtables = quantize_tables_int8(
+            tables_g, bound[:, None, None, None], qmn[:, None, None, None]
+        )
+
+        # ---- route owned pairs; unowned pairs route to partition 0 with a
+        # poisoned slot masked at candidate selection.
+        routed = route_queries(parts_safe, p_loc, group_size)
+        gcap, g = routed.gcap, routed.group_size
+        qa_g = routed.qa_group.reshape(qa)
+        qa_s = routed.qa_slot.reshape(qa)
+        tlo_p, thi_p = build_scan_tables(qtables.reshape(qa, m, 16), q_pad=qa)
+        tlo_p, thi_p = tlo_p.T, thi_p.T
+        s2p = jnp.zeros((gcap * g,), jnp.int32).at[qa_g * g + qa_s].set(
+            jnp.arange(qa, dtype=jnp.int32)
+        )
+        glo = (
+            tlo_p[s2p].reshape(gcap, g, lanes).transpose(0, 2, 1)
+            .reshape(gcap * lanes, g)
+        )
+        ghi = (
+            thi_p[s2p].reshape(gcap, g, lanes).transpose(0, 2, 1)
+            .reshape(gcap * lanes, g)
+        )
+        grouped_codes = codes_l[routed.group_part].reshape(gcap * part_pad, cb)
+        vals = lut_scan_grouped(
+            grouped_codes, glo, ghi, rows_per_group=part_pad,
+            block_n=block_n, window=window, interpret=interpret,
+        )
+        c = part_pad // window
+        vals_rows = vals.reshape(gcap, c, g).transpose(0, 2, 1).reshape(gcap * g, c)
+        cv = vals_rows[qa_g * g + qa_s].astype(jnp.float32)
+        win_ids = jnp.arange(c, dtype=jnp.int32)
+        all_rows = window_rows(win_ids, block_n, window)
+        szf = sizes_pair.reshape(qa)
+        win_valid = (jnp.min(all_rows, axis=1)[None, :] < szf[:, None]) & owned.reshape(
+            qa
+        )[:, None]
+        cv = jnp.where(win_valid, cv, jnp.inf)
+
+        # ---- query-level window merge + whole-window exact rerank (local).
+        wq = min(2 * r, ma * c)
+        cv_q = cv.reshape(q, ma * c)
+        neg_top, selq = jax.lax.top_k(-cv_q, wq)
+        sel_ai = selq // c
+        sel_wi = selq % c
+        sel_pair = jnp.arange(q, dtype=jnp.int32)[:, None] * ma + sel_ai
+        sel_part = jnp.take_along_axis(parts_safe, sel_ai, axis=1)
+        cand_rows = window_rows(sel_wi, block_n, window)
+        sel_sz = jnp.take_along_axis(sizes_pair, sel_ai, axis=1)
+        row_valid = cand_rows < sel_sz[..., None]
+        cand_rows_c = jnp.minimum(cand_rows, part_pad - 1)
+        flat_rows = sel_part[..., None] * part_pad + cand_rows_c
+        cand_lab = labels_l.reshape(-1)[flat_rows]
+        cand_codes = codes_l.reshape(-1, cb)[flat_rows]
+        cidx = unpack_codes(cand_codes, m, 4)               # (Q, wq, W, M)
+        tw = tables_g.reshape(qa, m, 16)[sel_pair]
+        cvf = jnp.zeros((q, wq, window), jnp.float32)
+        for j in range(16):
+            cvf = cvf + jnp.sum(
+                jnp.where(cidx == j, tw[:, :, None, :, j], 0.0), axis=-1
+            )
+        cvf = cvf.reshape(q, wq * window)
+        alive = row_valid.reshape(q, wq * window) & jnp.repeat(
+            jnp.isfinite(-neg_top), window, axis=1
+        )
+        cvf = jnp.where(alive, cvf, jnp.inf)
+        lv, ll = topk_smallest(cvf, cand_lab.reshape(q, wq * window), r)
+
+        # ---- merge across shards.
+        all_v = jax.lax.all_gather(lv, SHARD_AXIS, axis=1, tiled=True)  # (Q, D*r)
+        all_l = jax.lax.all_gather(ll, SHARD_AXIS, axis=1, tiled=True)
+        return topk_smallest(all_v, all_l, r)
+
+    shard_fn = jax.shard_map(
+        local_shard,
+        mesh=mesh,
+        in_specs=(
+            P(SHARD_AXIS, None, None),  # codes
+            P(SHARD_AXIS, None),        # labels
+            P(SHARD_AXIS),              # sizes
+            P(), P(), P(), P(),         # parts, tflat, max_possible, qmin
+        ),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return shard_fn(
+        index.codes, index.labels, index.part_sizes, parts, tflat, max_possible, qmin
+    )
+
+
+def search_qadc_ivf_sharded(
+    index: IVFIndex, queries, r: int = 100, ma: int = 1, keep: float = 0.01,
+    mesh=None, group_size: int = 64, window: int = 8, interpret: bool = False,
+):
+    """Quick-ADC search over a partition-sharded IVFIndex.
+
+    Same semantics as index.ivf.search_qadc (grouped path, rerank on); work
+    and memory scale with 1/n_devices.
+    """
+    if index.pq.sq_bits != 4:
+        raise ValueError("Quick ADC requires sq_bits == 4")
+    if mesh is None:
+        mesh = make_mesh()
+    if index.part_count % mesh.shape[SHARD_AXIS] != 0:
+        raise ValueError("partition count must be a device multiple (use shard_ivf_partitions)")
+    prefix_pad = max(1, int(index.max_part_size * keep)) if index.max_part_size else 1
+    prefix_pad = min(prefix_pad, index.part_pad)
+    return _search_impl(
+        index, queries, r, ma, keep, prefix_pad, group_size, window, interpret, mesh
+    )

@@ -1,0 +1,73 @@
+"""Partition-sharded IVF search on the 8-virtual-device CPU mesh."""
+
+import numpy as np
+import jax
+import pytest
+
+from qadc_tpu.dist.mesh import make_mesh
+from qadc_tpu.dist.sharded_ivf import search_qadc_ivf_sharded, shard_ivf_partitions
+from qadc_tpu.index import ivf
+from qadc_tpu.quantizers.pq import train_pq
+from qadc_tpu.ops.knn import exact_knn, assign_nearest
+from qadc_tpu.eval.recall import recall_at_r
+
+
+@pytest.fixture(scope="module")
+def built():
+    rng = np.random.default_rng(11)
+    dim, n = 32, 24000
+    centers = rng.normal(scale=3.0, size=(16, dim)).astype(np.float32)
+    base = (centers[rng.integers(0, 16, n)] + rng.normal(size=(n, dim))).astype(np.float32)
+    queries = (centers[rng.integers(0, 16, 16)] + rng.normal(size=(16, dim))).astype(np.float32)
+    coarse = ivf.train_coarse(jax.random.PRNGKey(0), base[:5000], 24, iters=10)
+    a = np.asarray(assign_nearest(base[:5000], coarse))
+    pq = train_pq(jax.random.PRNGKey(1), base[:5000] - np.asarray(coarse)[a], 16, 4, iters=10)
+    index = ivf.add(ivf.IVFIndex.create(pq, coarse), base)
+    _, gt = exact_knn(queries, base, 1)
+    return index, queries, np.asarray(gt)
+
+
+def test_shard_pads_partitions(built):
+    index, _, _ = built
+    mesh = make_mesh()
+    sharded = shard_ivf_partitions(index, mesh)
+    assert sharded.part_count % 8 == 0
+    assert sharded.n == index.n
+    # Real partitions preserved.
+    np.testing.assert_array_equal(
+        np.asarray(sharded.part_sizes)[: index.part_count],
+        np.asarray(index.part_sizes),
+    )
+
+
+def test_sharded_matches_single_device(built):
+    index, queries, gt = built
+    mesh = make_mesh()
+    sharded = shard_ivf_partitions(index, mesh)
+    d1, l1 = ivf.search_qadc(
+        index, queries, r=50, ma=6, keep=0.05, grouped=True, interpret=True
+    )
+    d2, l2 = search_qadc_ivf_sharded(
+        sharded, queries, r=50, ma=6, keep=0.05, mesh=mesh, interpret=True
+    )
+    d1, d2 = np.asarray(d1), np.asarray(d2)
+    l1, l2 = np.asarray(l1), np.asarray(l2)
+    rec1 = recall_at_r(l1, gt)
+    rec2 = recall_at_r(l2, gt)
+    assert rec2 >= rec1 - 0.07, (rec2, rec1)
+    # Top-1 must agree (exact rerank on both sides).
+    np.testing.assert_array_equal(l1[:, 0], l2[:, 0])
+    np.testing.assert_allclose(d1[:, 0], d2[:, 0], rtol=1e-5)
+    # Tail quality comparable.
+    assert np.mean(d2[:, -1] - d1[:, -1]) < 2.0
+
+
+def test_sharded_recall_vs_exact(built):
+    index, queries, gt = built
+    mesh = make_mesh()
+    sharded = shard_ivf_partitions(index, mesh)
+    _, labels = search_qadc_ivf_sharded(
+        sharded, queries, r=100, ma=8, keep=0.05, mesh=mesh, interpret=True
+    )
+    rec = recall_at_r(np.asarray(labels), gt)
+    assert rec > 0.85, rec
