@@ -223,39 +223,13 @@ def _search_qadc_impl(
     index: IVFIndex, queries, r: int, ma: int, keep: float, prefix_pad: int,
     rerank: bool,
 ):
-    parts, rot = assign_queries(index, queries, ma)
-    tables = adc_tables(rot, index.pq.centroids)  # (Q, ma, M, 16)
+    # Shared front half: assign, tables, keep-prefix bound (db_query_4.cpp:
+    # 230-242), QuantizerMAX int8 quantize (db_query_4.cpp:256-284).
+    parts, tables, qtables = _quantized_tables(index, queries, r, ma, keep, prefix_pad)
     m = index.pq.sq_count
-    tflat = tables.reshape(*tables.shape[:2], m * 16)
     q = queries.shape[0]
     sizes = index.part_sizes[parts]  # (Q, ma)
-
-    # ---- keep-prefix float scan over the first max(1, size*keep) codes of
-    # each probed partition (db_query_4.cpp:230-242). prefix_pad is the static
-    # bound; per-partition validity masked.
-    starts_sizes = jnp.maximum(
-        1, (sizes.astype(jnp.float32) * keep).astype(jnp.int32)
-    )
-    starts_sizes = jnp.where(sizes > 0, starts_sizes, 0)  # empty -> none
-    pcodes_prefix = index.codes[parts, :prefix_pad]        # (Q, ma, pp, cb)
-    oh = _one_hot_gathered(pcodes_prefix, m, 4, jnp.float32)
-    pd = jnp.einsum(
-        "qapf,qaf->qap", oh, tflat, preferred_element_type=jnp.float32
-    )
-    col = jnp.arange(prefix_pad, dtype=jnp.int32)
-    valid = col[None, None, :] < starts_sizes[:, :, None]
-    bound = keep_prefix_bound(pd.reshape(q, ma * prefix_pad), r,
-                              valid.reshape(q, ma * prefix_pad))
-
-    # ---- QuantizerMAX int8 quantization over ALL of the query's tables
-    # (db_query_4.cpp:256-284).
-    tables_nn = jnp.maximum(tables, 0.0)
-    max_possible = jnp.max(jnp.sum(jnp.max(tables_nn, axis=-1), axis=-1), axis=-1)
-    bound = clamp_bound_to_max_distance(bound, max_possible)
-    qmin = jnp.min(tables_nn, axis=(-3, -2, -1))  # (Q,)
-    qtables = quantize_tables_int8(
-        tables, bound[:, None, None, None], qmin[:, None, None, None]
-    )  # (Q, ma, M, 16) int8
+    tflat = tables.reshape(*tables.shape[:2], m * 16)
     qtflat = qtables.reshape(q, ma, m * 16)
 
     # ---- int8 screen of each probed partition (+ optional float rerank of
@@ -305,7 +279,6 @@ def _quantized_tables(index, queries, r, ma, keep, prefix_pad):
     parts, rot = assign_queries(index, queries, ma)
     tables = adc_tables(rot, index.pq.centroids)
     m = index.pq.sq_count
-    tflat = tables.reshape(*tables.shape[:2], m * 16)
     q = queries.shape[0]
     sizes = index.part_sizes[parts]
 
@@ -313,12 +286,17 @@ def _quantized_tables(index, queries, r, ma, keep, prefix_pad):
         1, (sizes.astype(jnp.float32) * keep).astype(jnp.int32)
     )
     starts_sizes = jnp.where(sizes > 0, starts_sizes, 0)
-    # Flat single-axis row gather of the keep-prefix codes.
+    # Flat single-axis row gather of the keep-prefix codes; distances via
+    # select-accumulate (no one-hot materialization, no element gathers).
     part_pad = index.part_pad
     prow = parts[:, :, None] * part_pad + jnp.arange(prefix_pad, dtype=jnp.int32)
     pcodes_prefix = index.codes.reshape(-1, index.pq.code_size)[prow]
-    oh = _one_hot_gathered(pcodes_prefix, m, 4, jnp.float32)
-    pd = jnp.einsum("qapf,qaf->qap", oh, tflat, preferred_element_type=jnp.float32)
+    pidx = unpack_codes(pcodes_prefix, m, 4)               # (Q, ma, pp, M)
+    pd = jnp.zeros((q, ma, prefix_pad), jnp.float32)
+    for j in range(16):
+        pd = pd + jnp.sum(
+            jnp.where(pidx == j, tables[:, :, None, :, j], 0.0), axis=-1
+        )
     col = jnp.arange(prefix_pad, dtype=jnp.int32)
     valid = col[None, None, :] < starts_sizes[:, :, None]
     bound = keep_prefix_bound(

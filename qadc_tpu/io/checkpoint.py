@@ -73,6 +73,81 @@ def save_index(path: str, index):
         json.dump(manifest, f, indent=2)
 
 
+def save_index_sharded(path: str, index: IVFIndex, num_shards: int):
+    """Save an IVFIndex as per-shard partition slices + shared metadata.
+
+    Multi-host serving restarts load only their slice (SURVEY §5.3-5.4: the
+    reference has no elasticity; here each host's shard is independently
+    loadable so a job can restart host-by-host). Partition count is padded to
+    a shard multiple by empty partitions.
+    """
+    if not isinstance(index, IVFIndex):
+        raise TypeError("sharded checkpoints are for IVFIndex")
+    os.makedirs(path, exist_ok=True)
+    p = index.part_count
+    p_pad = -(-p // num_shards) * num_shards
+    codes = np.asarray(index.codes)
+    labels = np.asarray(index.labels)
+    sizes = np.asarray(index.part_sizes)
+    coarse = np.asarray(index.coarse_centroids, np.float32)
+    if p_pad != p:
+        extra = p_pad - p
+        codes = np.concatenate([codes, np.zeros((extra, *codes.shape[1:]), codes.dtype)])
+        labels = np.concatenate([labels, np.zeros((extra, labels.shape[1]), labels.dtype)])
+        sizes = np.concatenate([sizes, np.zeros((extra,), sizes.dtype)])
+        coarse = np.concatenate([coarse, np.full((extra, coarse.shape[1]), 1e30, np.float32)])
+    per = p_pad // num_shards
+    pq_arrays, pq_meta = _pq_arrays(index.pq, "pq_")
+    manifest = {
+        "format": FORMAT_VERSION,
+        "type": "ivf_sharded",
+        "n": index.n,
+        "max_part_size": index.max_part_size,
+        "num_shards": num_shards,
+        "parts_per_shard": per,
+        "pq": pq_meta,
+    }
+    np.savez(
+        os.path.join(path, "shared.npz"), coarse_centroids=coarse, **pq_arrays
+    )
+    for s in range(num_shards):
+        sl = slice(s * per, (s + 1) * per)
+        np.savez(
+            os.path.join(path, f"shard_{s:05d}.npz"),
+            codes=codes[sl], labels=labels[sl], part_sizes=sizes[sl],
+        )
+    with open(os.path.join(path, "manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=2)
+
+
+def load_index_shard(path: str, shard_id: int):
+    """Load one host's slice of a sharded IVF checkpoint.
+
+    Returns (IVFIndex with only this shard's partitions, manifest dict). The
+    index's coarse_centroids remain GLOBAL (replicated); partition ids in the
+    slice are local [0, parts_per_shard) — offset = shard_id * parts_per_shard.
+    """
+    with open(os.path.join(path, "manifest.json")) as f:
+        manifest = json.load(f)
+    if manifest["type"] != "ivf_sharded":
+        raise ValueError(f"not a sharded checkpoint: {manifest['type']}")
+    shared = np.load(os.path.join(path, "shared.npz"))
+    pq = _pq_from(shared, manifest["pq"], "pq_")
+    arr = np.load(os.path.join(path, f"shard_{shard_id:05d}.npz"))
+    return (
+        IVFIndex(
+            pq=pq,
+            coarse_centroids=jnp.asarray(shared["coarse_centroids"]),
+            codes=jnp.asarray(arr["codes"]),
+            labels=jnp.asarray(arr["labels"]),
+            part_sizes=jnp.asarray(arr["part_sizes"]),
+            n=int(manifest["n"]),
+            max_part_size=int(manifest["max_part_size"]),
+        ),
+        manifest,
+    )
+
+
 def load_index(path: str):
     """Load an index saved by save_index."""
     with open(os.path.join(path, "manifest.json")) as f:

@@ -317,7 +317,8 @@ def _scan8_kernel(codes_ref, t_ref, jpat_ref, e_ref, vals_ref, idx_ref, *, windo
     lanes = m * 256
     g = blk // window
 
-    c = codes_ref[...].astype(jnp.bfloat16)  # 0..255 exact in bf16
+    # 0..255 exact in bf16; Mosaic lacks a direct uint8->bf16 cast.
+    c = codes_ref[...].astype(jnp.int32).astype(jnp.bfloat16)
     rep = jnp.dot(c, e_ref[...], preferred_element_type=jnp.float32)
     jp = jpat_ref[0:1, :]
     oh = (rep == jp).astype(jnp.bfloat16)

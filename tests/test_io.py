@@ -122,3 +122,27 @@ def test_index_checkpoint_roundtrip(tmp_path, rng):
     d3, l3 = ivf.search_adc(iv, base[:3], r=5, ma=3)
     d4, l4 = ivf.search_adc(loaded2, base[:3], r=5, ma=3)
     np.testing.assert_array_equal(np.asarray(l3), np.asarray(l4))
+
+
+def test_sharded_checkpoint(tmp_path, rng):
+    import jax
+    from qadc_tpu.io.checkpoint import load_index_shard, save_index_sharded
+
+    base = rng.normal(size=(2000, 16)).astype(np.float32)
+    pq = train_pq(jax.random.PRNGKey(0), base, 4, 4, iters=3)
+    coarse = ivf.train_coarse(jax.random.PRNGKey(1), base, 6, iters=5)
+    index = ivf.add(ivf.IVFIndex.create(pq, coarse), base)
+    path = str(tmp_path / "shivf")
+    save_index_sharded(path, index, num_shards=4)
+
+    total_labels = []
+    for s in range(4):
+        shard, manifest = load_index_shard(path, s)
+        assert manifest["num_shards"] == 4
+        per = manifest["parts_per_shard"]
+        assert shard.codes.shape[0] == per
+        sizes = np.asarray(shard.part_sizes)
+        labs = np.asarray(shard.labels)
+        for pi in range(per):
+            total_labels.extend(labs[pi, : sizes[pi]].tolist())
+    assert sorted(total_labels) == list(range(2000))
