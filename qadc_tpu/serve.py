@@ -1,0 +1,119 @@
+"""Continuous-batching serving front-end.
+
+The reference's batch engine amortizes assignment/rotation/tables over a
+query batch (nns_engine_batch, query_common.hpp:149-243) but is synchronous.
+Here, a background worker drains a request queue into FIXED-SHAPE batches
+(jit compiles once) with a small collection window — the standard continuous
+batching pattern: latency-bounded, throughput amortized across callers.
+
+Usage:
+    server = SearchServer(index, r=100, ma=24, keep=0.00213, batch_size=128)
+    future = server.submit(query_vector)        # thread-safe, any caller
+    dists, labels = future.result()
+    server.close()
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import Future
+
+import numpy as np
+
+from qadc_tpu.index import flat as flat_mod, ivf as ivf_mod
+from qadc_tpu.index.flat import FlatIndex
+from qadc_tpu.index.ivf import IVFIndex
+
+
+class SearchServer:
+    """Batched asynchronous search over one index."""
+
+    def __init__(
+        self,
+        index,
+        r: int = 100,
+        ma: int = 1,
+        keep: float = 0.01,
+        adc_type: str = "qadc",
+        batch_size: int = 128,
+        max_wait_ms: float = 2.0,
+    ):
+        self.index = index
+        self.r = r
+        self.ma = ma
+        self.keep = keep
+        self.adc_type = adc_type
+        self.batch_size = batch_size
+        self.max_wait_s = max_wait_ms / 1e3
+        self.is_ivf = isinstance(index, IVFIndex)
+        if not self.is_ivf and not isinstance(index, FlatIndex):
+            raise TypeError(f"unsupported index type {type(index)}")
+        if adc_type == "qadc" and index.pq.sq_bits != 4:
+            raise ValueError("Quick ADC requires sq_bits == 4")
+        self._q: queue.Queue = queue.Queue()
+        self._closed = False
+        self._batches = 0  # served batch count (for tests/metrics)
+        self._worker = threading.Thread(target=self._loop, daemon=True)
+        self._worker.start()
+
+    def _search(self, batch):
+        if self.is_ivf:
+            if self.adc_type == "qadc":
+                return ivf_mod.search_qadc(
+                    self.index, batch, r=self.r, ma=self.ma, keep=self.keep
+                )
+            return ivf_mod.search_adc(self.index, batch, r=self.r, ma=self.ma)
+        if self.adc_type == "qadc":
+            return flat_mod.search_qadc(self.index, batch, r=self.r, keep=self.keep)
+        return flat_mod.search_adc(self.index, batch, r=self.r)
+
+    def _loop(self):
+        dim = self.index.pq.dim
+        while True:
+            item = self._q.get()
+            if item is None:
+                return
+            pending = [item]
+            # Collect up to batch_size requests within the wait window.
+            deadline = self.max_wait_s
+            while len(pending) < self.batch_size:
+                try:
+                    nxt = self._q.get(timeout=deadline)
+                except queue.Empty:
+                    break
+                if nxt is None:
+                    self._q.put(None)  # re-signal shutdown after this batch
+                    break
+                pending.append(nxt)
+
+            batch = np.zeros((self.batch_size, dim), np.float32)
+            for i, (vec, _) in enumerate(pending):
+                batch[i] = vec
+            dists, labels = self._search(batch)
+            dists, labels = np.asarray(dists), np.asarray(labels)
+            self._batches += 1
+            for i, (_, fut) in enumerate(pending):
+                fut.set_result((dists[i], labels[i]))
+
+    def submit(self, query) -> Future:
+        """Queue one query vector; resolves to (dists (r,), labels (r,))."""
+        if self._closed:
+            raise RuntimeError("server closed")
+        query = np.asarray(query, np.float32).reshape(-1)
+        if query.shape[0] != self.index.pq.dim:
+            raise ValueError(f"query dim {query.shape[0]} != index dim {self.index.pq.dim}")
+        fut: Future = Future()
+        self._q.put((query, fut))
+        return fut
+
+    def close(self):
+        self._closed = True
+        self._q.put(None)
+        self._worker.join(timeout=30)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()

@@ -1,0 +1,64 @@
+import threading
+
+import numpy as np
+import jax
+import pytest
+
+from qadc_tpu.index import flat
+from qadc_tpu.quantizers.pq import train_pq
+from qadc_tpu.serve import SearchServer
+
+
+@pytest.fixture(scope="module")
+def built():
+    rng = np.random.default_rng(4)
+    dim, n = 32, 5000
+    base = rng.normal(size=(n, dim)).astype(np.float32)
+    pq = train_pq(jax.random.PRNGKey(0), base, 16, 4, iters=8)
+    index = flat.add(flat.FlatIndex.create(pq), base)
+    return index, base
+
+
+def test_serve_matches_direct(built):
+    index, base = built
+    queries = base[:10] + 0.01
+    with SearchServer(index, r=20, keep=0.05, batch_size=16, max_wait_ms=20) as srv:
+        futs = [srv.submit(q) for q in queries]
+        results = [f.result(timeout=60) for f in futs]
+    d_direct, l_direct = flat.search_qadc(index, queries, r=20, keep=0.05)
+    for i, (d, l) in enumerate(results):
+        np.testing.assert_array_equal(l, np.asarray(l_direct)[i])
+
+
+def test_serve_batches_requests(built):
+    index, base = built
+    with SearchServer(index, r=5, keep=0.05, batch_size=64, max_wait_ms=100) as srv:
+        futs = [srv.submit(base[i]) for i in range(32)]
+        for f in futs:
+            f.result(timeout=60)
+        assert srv._batches <= 3  # requests were actually batched
+
+
+def test_serve_concurrent_callers(built):
+    index, base = built
+    results = {}
+    with SearchServer(index, r=5, keep=0.05, batch_size=16, max_wait_ms=5) as srv:
+        def caller(tid):
+            futs = [srv.submit(base[tid * 10 + i]) for i in range(10)]
+            results[tid] = [f.result(timeout=60)[1][0] for f in futs]
+
+        threads = [threading.Thread(target=caller, args=(t,)) for t in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+    for tid in range(4):
+        # each query's own row is its nearest neighbor
+        assert results[tid] == [tid * 10 + i for i in range(10)]
+
+
+def test_serve_rejects_bad_dim(built):
+    index, _ = built
+    with SearchServer(index, r=5, keep=0.05) as srv:
+        with pytest.raises(ValueError, match="dim"):
+            srv.submit(np.zeros(7, np.float32))
