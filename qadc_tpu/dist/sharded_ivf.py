@@ -30,7 +30,7 @@ from qadc_tpu.index.ivf import IVFIndex, assign_queries
 from qadc_tpu.index.routing import route_queries
 from qadc_tpu.kernels.lut_scan import (
     build_scan_tables,
-    lut_scan_grouped,
+    lut_scan_grouped_prefetch,
     window_rows,
 )
 from qadc_tpu.ops.quantization import (
@@ -39,7 +39,7 @@ from qadc_tpu.ops.quantization import (
     quantize_tables_int8,
 )
 from qadc_tpu.ops.tables import adc_tables
-from qadc_tpu.ops.topk import topk_smallest
+from qadc_tpu.ops.topk import screen_smallest, topk_smallest
 
 
 def shard_ivf_partitions(index: IVFIndex, mesh) -> IVFIndex:
@@ -164,10 +164,10 @@ def _search_impl(
             thi_p[s2p].reshape(gcap, g, lanes).transpose(0, 2, 1)
             .reshape(gcap * lanes, g)
         )
-        grouped_codes = codes_l[routed.group_part].reshape(gcap * part_pad, cb)
-        vals = lut_scan_grouped(
-            grouped_codes, glo, ghi, rows_per_group=part_pad,
-            block_n=block_n, window=window, interpret=interpret,
+        vals = lut_scan_grouped_prefetch(
+            codes_l.reshape(-1, cb), routed.group_part, glo, ghi,
+            rows_per_group=part_pad, block_n=block_n, window=window,
+            interpret=interpret,
         )
         c = part_pad // window
         vals_rows = vals.reshape(gcap, c, g).transpose(0, 2, 1).reshape(gcap * g, c)
@@ -183,7 +183,7 @@ def _search_impl(
         # ---- query-level window merge + whole-window exact rerank (local).
         wq = min(2 * r, ma * c)
         cv_q = cv.reshape(q, ma * c)
-        neg_top, selq = jax.lax.top_k(-cv_q, wq)
+        screen_v, selq = screen_smallest(cv_q, wq)
         sel_ai = selq // c
         sel_wi = selq % c
         sel_pair = jnp.arange(q, dtype=jnp.int32)[:, None] * ma + sel_ai
@@ -204,7 +204,7 @@ def _search_impl(
             )
         cvf = cvf.reshape(q, wq * window)
         alive = row_valid.reshape(q, wq * window) & jnp.repeat(
-            jnp.isfinite(-neg_top), window, axis=1
+            jnp.isfinite(screen_v), window, axis=1
         )
         cvf = jnp.where(alive, cvf, jnp.inf)
         lv, ll = topk_smallest(cvf, cand_lab.reshape(q, wq * window), r)

@@ -23,7 +23,7 @@ import numpy as np
 
 from qadc_tpu.core.layout import DEFAULT_BLOCK, pad_codes_to_block
 from qadc_tpu.core.packing import unpack_codes
-from qadc_tpu.ops.topk import topk_smallest
+from qadc_tpu.ops.topk import screen_smallest, topk_smallest
 from qadc_tpu.kernels.lut_scan import (
     DEFAULT_BLOCK_N,
     DEFAULT_WINDOW,
@@ -157,10 +157,10 @@ def search_adc(index: FlatIndex, queries, r: int = 100):
     vals = jnp.where(rows < index.n, vals.astype(jnp.float32), jnp.inf)
     vals_t, rows_t = vals.T[:q], rows.T[:q]
     rr = min(2 * r, vals_t.shape[1])
-    neg_top, sel = jax.lax.top_k(-vals_t, rr)
+    screen_v, sel = screen_smallest(vals_t, rr)
     cand = jnp.take_along_axis(rows_t, sel, axis=1)       # (Q, rr) row ids
     fd = _exact_rerank(tables, index.codes[cand], index.pq.sq_bits)
-    fd = jnp.where(jnp.isfinite(-neg_top), fd, jnp.inf)
+    fd = jnp.where(jnp.isfinite(screen_v), fd, jnp.inf)
     return topk_smallest(fd, cand, r)
 
 
@@ -219,9 +219,7 @@ def search_qadc(
 
     def _screen(k):
         if use_kernel:
-            v, rows = lut_scan_topk_int8(index.codes, qtables, k, index.n)
-            vf = jnp.where(v == jnp.iinfo(jnp.int32).max, jnp.inf, v.astype(jnp.float32))
-            return vf, rows  # flat labels are row ids
+            return lut_scan_topk_int8(index.codes, qtables, k, index.n)
         return scan_topk_int8(
             index.codes, index.labels, qtables, k, num_valid=index.n
         )

@@ -34,7 +34,7 @@ from qadc_tpu.ops.quantization import (
     quantize_tables_int8,
 )
 from qadc_tpu.ops.tables import adc_tables
-from qadc_tpu.ops.topk import merge_topk, topk_smallest
+from qadc_tpu.ops.topk import merge_topk, screen_smallest, topk_smallest
 from qadc_tpu.quantizers.pq import ProductQuantizer, encode
 
 PART_ALIGN = 512  # partition padding granularity (rows); multiple of the
@@ -333,7 +333,7 @@ def _search_qadc_grouped_impl(
     from qadc_tpu.index.routing import route_queries
     from qadc_tpu.kernels.lut_scan import (
         build_scan_tables,
-        lut_scan_grouped,
+        lut_scan_grouped_prefetch,
         window_rows,
     )
 
@@ -368,11 +368,12 @@ def _search_qadc_grouped_impl(
         .transpose(0, 2, 1).reshape(gcap * lanes, g)
     )
 
-    # Gather the probed partitions group-major; scan -> per-window minima.
-    grouped_codes = index.codes[routed.group_part].reshape(gcap * part_pad, m // 2)
-    vals = lut_scan_grouped(
-        grouped_codes, glo, ghi, rows_per_group=part_pad,
-        block_n=block_n, window=window, interpret=interpret,
+    # Scan each group's partition IN PLACE (scalar-prefetch block routing —
+    # no gather copy of the scanned bytes).
+    vals = lut_scan_grouped_prefetch(
+        index.codes.reshape(-1, m // 2), routed.group_part, glo, ghi,
+        rows_per_group=part_pad, block_n=block_n, window=window,
+        interpret=interpret,
     )
     c = part_pad // window
     # Per-pair window minima via a SINGLE-AXIS row gather ((slot-major rows) —
@@ -394,7 +395,7 @@ def _search_qadc_grouped_impl(
     # Q x 2r x W instead of Q x ma x r x W).
     wq = min(2 * r, ma * c)
     cv_q = cv.reshape(q, ma * c)
-    neg_top, selq = jax.lax.top_k(-cv_q, wq)              # (Q, wq) into ma*C
+    screen_v, selq = screen_smallest(cv_q, wq)              # (Q, wq) into ma*C
     sel_ai = selq // c                                     # assignment index
     sel_wi = selq % c                                      # window in partition
     sel_pair = jnp.arange(q, dtype=jnp.int32)[:, None] * ma + sel_ai  # (Q, wq)
@@ -421,7 +422,7 @@ def _search_qadc_grouped_impl(
         )
     cvf = cvf.reshape(q, wq * window)
     alive = row_valid.reshape(q, wq * window) & jnp.repeat(
-        jnp.isfinite(-neg_top), window, axis=1
+        jnp.isfinite(screen_v), window, axis=1
     )
     cvf = jnp.where(alive, cvf, jnp.inf)
     return topk_smallest(cvf, cand_lab.reshape(q, wq * window), r)

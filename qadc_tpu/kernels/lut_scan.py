@@ -410,6 +410,85 @@ def lut_scan8_reduce(
     return vals, rows
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("rows_per_group", "nblocks_total", "block_n", "window", "interpret"),
+)
+def lut_scan_grouped_prefetch(
+    codes,
+    group_part,
+    tables_lo,
+    tables_hi,
+    rows_per_group: int,
+    block_n: int = 512,
+    window: int = DEFAULT_WINDOW,
+    interpret: bool = False,
+    nblocks_total: int | None = None,
+):
+    """Grouped IVF scan reading partitions IN PLACE via scalar prefetch.
+
+    Unlike lut_scan_grouped (which consumes a pre-gathered group-major code
+    buffer — an extra HBM read+write of every scanned byte), the partition id
+    of each group is a scalar-prefetch operand and the codes BlockSpec
+    index_map routes each grid step's DMA directly into the partition-major
+    codes array. At Deep100M scale the gather copy (~1 GB/batch) disappears.
+
+    Args:
+      codes: (P * rows_per_group, M/2) uint8 — partition-major rows (the
+        IVFIndex codes reshaped).
+      group_part: (GCAP,) int32 — partition scanned by each group.
+      tables_lo/hi: (GCAP * (M/2)*16, G) int8 group-major table slabs.
+      rows_per_group: padded partition size (static; block_n must divide it).
+
+    Returns:
+      vals (GCAP*rows_per_group/W, G) int32 window minima (same window
+      geometry as lut_scan_grouped / window_rows).
+    """
+    total_rows, cb = codes.shape
+    lanes = cb * 16
+    total_t, gq = tables_lo.shape
+    gcap = total_t // lanes
+    assert group_part.shape == (gcap,), (group_part.shape, gcap)
+    if rows_per_group % block_n != 0:
+        raise ValueError(f"block_n {block_n} must divide rows_per_group {rows_per_group}")
+    if block_n % window != 0:
+        raise ValueError(f"block_n {block_n} not a multiple of window {window}")
+    nblocks = rows_per_group // block_n
+    g = block_n // window
+    e, jpat = _expand_consts(cb)
+
+    def kernel(gp_ref, *rest):  # scalar-prefetch ref arrives first; unused in body
+        _grouped_scan_kernel(*rest, window=window, acc_dtype=jnp.int32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(gcap * nblocks,),
+        in_specs=[
+            pl.BlockSpec(
+                (block_n, cb),
+                lambda i, gp: (gp[i // nblocks] * nblocks + i % nblocks, 0),
+            ),
+            pl.BlockSpec((lanes, gq), lambda i, gp: (i // nblocks, 0)),
+            pl.BlockSpec((lanes, gq), lambda i, gp: (i // nblocks, 0)),
+            pl.BlockSpec((8, lanes), lambda i, gp: (0, 0)),
+            pl.BlockSpec((cb, lanes), lambda i, gp: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((g, gq), lambda i, gp: (i, 0)),
+    )
+    vals = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((gcap * rows_per_group // window, gq), jnp.int32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * gcap * rows_per_group * lanes * gq,
+            bytes_accessed=gcap * rows_per_group * cb + 2 * gcap * lanes * gq,
+            transcendentals=0,
+        ),
+    )(group_part, codes, tables_lo, tables_hi, jpat, e)
+    return vals
+
+
 def window_rows(window_ids, block_n: int, window: int):
     """Expand window ids to the local rows they cover.
 
@@ -448,7 +527,8 @@ def lut_scan_topk_int8(
       num_valid: real row count (padded rows masked).
 
     Returns:
-      (vals (Q, r) int32 quantized distances, rows (Q, r) int32 code rows).
+      (vals (Q, r) float32 quantized distances, +inf for masked/absent slots;
+       rows (Q, r) int32 code rows).
     """
     q = qtables.shape[0]
     tlo, thi = build_scan_tables(qtables)
@@ -456,10 +536,10 @@ def lut_scan_topk_int8(
         codes, tlo, thi, block_n=block_n, window=window, interpret=interpret
     )
     # Mask candidates from padded rows (window minima can come from padding).
-    big = jnp.iinfo(jnp.int32).max
-    vals = jnp.where(rows < num_valid, vals, big)
-    vals_t = vals.T[:q]   # (Q, N/W)
+    from qadc_tpu.ops.topk import screen_smallest
+
+    vals_t = jnp.where(rows < num_valid, vals.astype(jnp.float32), jnp.inf).T[:q]
     rows_t = rows.T[:q]
-    neg_top, sel = jax.lax.top_k(-vals_t, min(r, vals_t.shape[1]))
+    out_v, sel = screen_smallest(vals_t, min(r, vals_t.shape[1]))
     out_rows = jnp.take_along_axis(rows_t, sel, axis=1)
-    return -neg_top, out_rows
+    return out_v, out_rows
