@@ -92,6 +92,18 @@ class IVFIndex:
         )
 
 
+def keep_for_init(init: int, part_count: int, ma: int, n: int) -> float:
+    """Convert the paper's `init` parameter to a keep fraction.
+
+    Reference README.md:335-342: keep = (init * K) / (ma * N) — init is the
+    total number of codes exact-scanned per query; keep is the per-partition
+    prefix fraction that achieves it.
+    """
+    if min(init, part_count, ma, n) <= 0:
+        raise ValueError("all of init, part_count, ma, n must be positive")
+    return (init * part_count) / (ma * n)
+
+
 def train_coarse(key, learn_vectors, part_count: int, iters: int = 50):
     """Learn the coarse quantizer (reference: learn_coarse_quantizer,
     databases.cpp:94-118 — OpenCV kmeans++ + 48 Lloyd iterations)."""
@@ -128,30 +140,36 @@ def add(index: IVFIndex, vectors, encode_batch: int = 262144) -> IVFIndex:
     old_codes = np.asarray(index.codes)
     old_labels = np.asarray(index.labels)
 
-    per_part_codes = []
-    per_part_labels = []
-    for pi in range(p):
-        sel = assign_np == pi
-        pc = [old_codes[pi, : old_sizes[pi]], codes_np[sel]]
-        pl = [old_labels[pi, : old_sizes[pi]], new_labels[sel]]
-        per_part_codes.append(np.concatenate(pc, axis=0))
-        per_part_labels.append(np.concatenate(pl, axis=0))
-
-    sizes = np.array([c.shape[0] for c in per_part_codes], dtype=np.int32)
+    # Vectorized scatter (a per-partition python loop is too slow at 100M-
+    # scale ingest): sort new rows by partition, then place each partition's
+    # run after its existing rows.
+    new_counts = np.bincount(assign_np, minlength=p).astype(np.int64)
+    order = np.argsort(assign_np, kind="stable")
+    sizes = (old_sizes.astype(np.int64) + new_counts).astype(np.int32)
     max_size = int(sizes.max()) if p else 0
     part_pad = max(PART_ALIGN, -(-max_size // PART_ALIGN) * PART_ALIGN)
 
     codes3 = np.zeros((p, part_pad, cb), np.uint8)
     labels3 = np.zeros((p, part_pad), np.int32)
-    for pi in range(p):
-        sz = sizes[pi]
-        if sz == 0:
-            continue
-        codes3[pi, :sz] = per_part_codes[pi]
-        labels3[pi, :sz] = per_part_labels[pi]
-        # Pad by repeating the last code / clamping to the last label.
-        codes3[pi, sz:] = per_part_codes[pi][-1]
-        labels3[pi, sz:] = per_part_labels[pi][-1]
+    # Existing rows.
+    old_pad = old_codes.shape[1]
+    copy_w = min(old_pad, part_pad)
+    codes3[:, :copy_w] = old_codes[:, :copy_w]
+    labels3[:, :copy_w] = old_labels[:, :copy_w]
+    # New rows: flat destinations pi*part_pad + old_size[pi] + rank_within_pi.
+    starts = np.concatenate([[0], np.cumsum(new_counts)[:-1]])
+    rank = np.arange(len(order), dtype=np.int64) - starts[assign_np[order]]
+    dest = assign_np[order].astype(np.int64) * part_pad + old_sizes[assign_np[order]] + rank
+    codes3.reshape(-1, cb)[dest] = codes_np[order]
+    labels3.reshape(-1)[dest] = new_labels[order]
+    # Pad tails by repeating each partition's last code / clamping its label
+    # (reference quirk, simd_layout.hpp:47-50).
+    rows = np.arange(part_pad, dtype=np.int64)[None, :]
+    last = np.maximum(sizes.astype(np.int64), 1)[:, None] - 1
+    src = np.minimum(rows, last)
+    gather_idx = (np.arange(p, dtype=np.int64)[:, None] * part_pad + src).reshape(-1)
+    codes3 = codes3.reshape(-1, cb)[gather_idx].reshape(p, part_pad, cb)
+    labels3 = labels3.reshape(-1)[gather_idx].reshape(p, part_pad)
 
     return IVFIndex(
         pq=index.pq,

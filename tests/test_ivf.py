@@ -77,3 +77,42 @@ def test_ivf_more_probes_more_recall(rng):
         recs.append(recall_at_r(np.asarray(labels), gt))
     assert recs[0] <= recs[1] + 0.03 and recs[1] <= recs[2] + 0.03
     assert recs[2] > 0.9
+
+
+def test_keep_for_init():
+    from qadc_tpu.index.ivf import keep_for_init
+
+    # README example: SIFT1M IVF-256, ma=24, keep=0.213% corresponds to
+    # init = keep*ma*N/K = 0.00213*24*1e6/256 ~ 200 codes exact-scanned.
+    keep = keep_for_init(200, 256, 24, 1_000_000)
+    assert abs(keep - 0.00213) < 1e-4
+    import pytest
+
+    with pytest.raises(ValueError):
+        keep_for_init(0, 256, 24, 1_000_000)
+
+
+def test_ivf_incremental_add_matches_bulk(rng):
+    index1, base, _, _ = _build_ivf(rng)
+    # Rebuild with two adds; same final contents per partition.
+    from qadc_tpu.index.ivf import IVFIndex
+    import jax
+
+    coarse = index1.coarse_centroids
+    pq = index1.pq
+    i2 = ivf.add(ivf.add(ivf.IVFIndex.create(pq, coarse), base[:1500]), base[1500:])
+    assert i2.n == index1.n
+    np.testing.assert_array_equal(
+        np.asarray(i2.part_sizes), np.asarray(index1.part_sizes)
+    )
+    s1, s2 = np.asarray(index1.part_sizes), np.asarray(i2.part_sizes)
+    l1, l2 = np.asarray(index1.labels), np.asarray(i2.labels)
+    c1, c2 = np.asarray(index1.codes), np.asarray(i2.codes)
+    for pi in range(index1.part_count):
+        np.testing.assert_array_equal(l1[pi, : s1[pi]], l2[pi, : s2[pi]])
+        np.testing.assert_array_equal(c1[pi, : s1[pi]], c2[pi, : s2[pi]])
+        # padded tails clamp to the last real row
+        if s2[pi] > 0:
+            np.testing.assert_array_equal(
+                c2[pi, s2[pi]:], np.broadcast_to(c2[pi, s2[pi]-1], c2[pi, s2[pi]:].shape)
+            )
