@@ -43,7 +43,9 @@ def main():
     k_inner = 16
 
     @jax.jit
-    def chained(prev, tlo, thi):
+    def chained(codes, prev, tlo, thi):
+        # codes passed as an ARGUMENT: closing over device arrays would embed
+        # them as HLO constants (slow remote compiles at scale).
         for _ in range(k_inner):
             d = (prev[0:1, 0:1] & 1).astype(jnp.int8)
             vals, rows = lut_scan_reduce(codes, tlo + d, thi)
@@ -51,13 +53,13 @@ def main():
         return prev
 
     zero = jnp.zeros((n // 16, tlo.shape[1]), jnp.int32)
-    prev = chained(zero, tlo, thi)
+    prev = chained(codes, zero, tlo, thi)
     _ = float(prev[0, 0])  # warmup + fence
 
     iters = 4
     t0 = time.time()
     for _ in range(iters):
-        prev = chained(prev, tlo, thi)
+        prev = chained(codes, prev, tlo, thi)
     _ = float(prev[0, 0])  # fence
     dt = (time.time() - t0) / (iters * k_inner)
 
@@ -124,18 +126,18 @@ def _bench_ivf_e2e(rng):
     k_inner = 8
 
     @jax.jit
-    def chained(qs):
+    def chained(idx, qs):
         tap = jnp.float32(0)
         for _ in range(k_inner):
-            d, _ = ivf.search_qadc(index, qs + tap * 1e-12, r=100, ma=ma, keep=0.005)
+            d, _ = ivf.search_qadc(idx, qs + tap * 1e-12, r=100, ma=ma, keep=0.005)
             tap = d.sum()
         return tap
 
-    _ = float(chained(queries))
+    _ = float(chained(index, queries))
     iters = 3
     t0 = time.time()
     for _ in range(iters):
-        _ = float(chained(queries))
+        _ = float(chained(index, queries))
     dt = (time.time() - t0) / (iters * k_inner)
     return dt * 1e6 / q
 

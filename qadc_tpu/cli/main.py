@@ -81,6 +81,13 @@ def cmd_create_index(args):
     err = np.abs(recon - learn).max()
     if err > 1e-5:
         raise SystemExit(f"residual check failed: {err}")
+    if args.residuals_out:
+        # Interop with external quantizer training (the reference's
+        # indexdb_create1 residuals file, README.md:220-260).
+        from qadc_tpu.io import save_vectors
+
+        save_vectors(args.residuals_out, residuals)
+        print(f"residuals written to {args.residuals_out}", file=sys.stderr)
     if args.opq:
         from qadc_tpu.quantizers.opq import train_opq
 
@@ -143,6 +150,30 @@ def cmd_query(args):
         print(f"{args.r},{recall},{args.ma},adc,{metrics.csv_row()}")
 
 
+def cmd_info(args):
+    """Describe an index (reference: base_db::print / operator<<)."""
+    import numpy as np
+    from qadc_tpu.index.ivf import IVFIndex
+    from qadc_tpu.io import load_index
+    from qadc_tpu.quantizers.opq import OPQQuantizer
+
+    index = load_index(args.index)
+    pq = index.pq
+    kind = "opq" if isinstance(pq, OPQQuantizer) else "pq"
+    print(f"type: {'ivf' if isinstance(index, IVFIndex) else 'flat'}")
+    print(f"vectors: {index.n}")
+    print(f"quantizer: {kind} (dim={pq.dim}, sq={pq.sq_count}x{pq.sq_bits}, "
+          f"code_size={pq.code_size} bytes)")
+    if isinstance(index, IVFIndex):
+        sizes = np.asarray(index.part_sizes)
+        nonempty = sizes[sizes > 0]
+        print(f"partitions: {index.part_count} "
+              f"(empty={int((sizes == 0).sum())}, "
+              f"min={int(nonempty.min()) if nonempty.size else 0}, "
+              f"mean={float(sizes.mean()):.0f}, max={int(sizes.max())}, "
+              f"padded_to={index.part_pad})")
+
+
 def cmd_split(args):
     from qadc_tpu.io import split_vecs
 
@@ -197,7 +228,13 @@ def build_parser():
     c.add_argument("--sq", default="16x4")
     c.add_argument("--opq", action="store_true")
     c.add_argument("--seed", type=int, default=0)
+    c.add_argument("--residuals-out", help="also write residuals as .fvecs "
+                   "(external-training interop, reference indexdb_create1)")
     c.set_defaults(fn=cmd_create_index)
+
+    c = sub.add_parser("info", help="describe an index")
+    c.add_argument("index")
+    c.set_defaults(fn=cmd_info)
 
     c = sub.add_parser("add", help="add base vectors to an index")
     c.add_argument("index")

@@ -180,7 +180,10 @@ def _search_impl(
         )[:, None]
         cv = jnp.where(win_valid, cv, jnp.inf)
 
-        # ---- query-level window merge + whole-window exact rerank (local).
+        # ---- query-level window merge + whole-window exact rerank (local,
+        # shared 2-D-shaped helper — see index.ivf.window_rerank).
+        from qadc_tpu.index.ivf import window_rerank
+
         wq = min(2 * r, ma * c)
         cv_q = cv.reshape(q, ma * c)
         screen_v, selq = screen_smallest(cv_q, wq)
@@ -188,26 +191,12 @@ def _search_impl(
         sel_wi = selq % c
         sel_pair = jnp.arange(q, dtype=jnp.int32)[:, None] * ma + sel_ai
         sel_part = jnp.take_along_axis(parts_safe, sel_ai, axis=1)
-        cand_rows = window_rows(sel_wi, block_n, window)
         sel_sz = jnp.take_along_axis(sizes_pair, sel_ai, axis=1)
-        row_valid = cand_rows < sel_sz[..., None]
-        cand_rows_c = jnp.minimum(cand_rows, part_pad - 1)
-        flat_rows = sel_part[..., None] * part_pad + cand_rows_c
-        cand_lab = labels_l.reshape(-1)[flat_rows]
-        cand_codes = codes_l.reshape(-1, cb)[flat_rows]
-        cidx = unpack_codes(cand_codes, m, 4)               # (Q, wq, W, M)
-        tw = tables_g.reshape(qa, m, 16)[sel_pair]
-        cvf = jnp.zeros((q, wq, window), jnp.float32)
-        for j in range(16):
-            cvf = cvf + jnp.sum(
-                jnp.where(cidx == j, tw[:, :, None, :, j], 0.0), axis=-1
-            )
-        cvf = cvf.reshape(q, wq * window)
-        alive = row_valid.reshape(q, wq * window) & jnp.repeat(
-            jnp.isfinite(screen_v), window, axis=1
+        lv, ll = window_rerank(
+            codes_l.reshape(-1, cb), labels_l.reshape(-1), part_pad,
+            tables_g, screen_v, sel_part, sel_pair, sel_wi, sel_sz,
+            r, block_n, window,
         )
-        cvf = jnp.where(alive, cvf, jnp.inf)
-        lv, ll = topk_smallest(cvf, cand_lab.reshape(q, wq * window), r)
 
         # ---- merge across shards.
         all_v = jax.lax.all_gather(lv, SHARD_AXIS, axis=1, tiled=True)  # (Q, D*r)

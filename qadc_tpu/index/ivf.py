@@ -26,6 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from qadc_tpu.core.packing import unpack_codes
+from qadc_tpu.kernels.lut_scan import window_rows
 from qadc_tpu.ops.kmeans import kmeans
 from qadc_tpu.ops.knn import exact_knn, assign_nearest
 from qadc_tpu.ops.quantization import (
@@ -419,31 +420,69 @@ def _search_qadc_grouped_impl(
     sel_pair = jnp.arange(q, dtype=jnp.int32)[:, None] * ma + sel_ai  # (Q, wq)
     sel_part = jnp.take_along_axis(parts, sel_ai, axis=1)  # (Q, wq)
 
-    cand_rows = window_rows(sel_wi, block_n, window)       # (Q, wq, W)
-    sel_sz = jnp.take_along_axis(sz.reshape(q, ma), sel_ai, axis=1)
-    row_valid = cand_rows < sel_sz[..., None]
+    tw_src = tables if rerank else qtables.astype(jnp.float32)
+    return window_rerank(
+        index.codes.reshape(-1, m // 2), index.labels.reshape(-1), part_pad,
+        tw_src, screen_v, sel_part, sel_pair, sel_wi,
+        jnp.take_along_axis(sz.reshape(q, ma), sel_ai, axis=1),
+        r, block_n, window,
+    )
+
+
+def window_rerank(
+    codes_flat, labels_flat, part_pad: int,
+    tables_qa, screen_v, sel_part, sel_pair, sel_wi, sel_sz,
+    r: int, block_n: int, window: int,
+):
+    """Expand winning windows to all their rows and rank by exact distance.
+
+    All intermediates are kept 2-D with >=128-lane trailing dims: 4-D tensors
+    with small minor dims (W=8/16, M=16) get 8-16x TPU layout padding, which
+    OOMs HBM at Deep100M scale.
+
+    Args:
+      codes_flat/labels_flat: (P*part_pad, cb) / (P*part_pad,) partition-major.
+      tables_qa: (Q, ma, M, 16) float tables to rank with (float tables for
+        rerank, quantized-as-float for reference-style ranking).
+      screen_v: (Q, wq) screened window minima (inf = dead slot).
+      sel_part/sel_pair/sel_wi/sel_sz: (Q, wq) selected windows' partition id,
+        flattened (q*ma+a) pair id, window id, and partition real size.
+
+    Returns (dists (Q, r), labels (Q, r)).
+    """
+    q, wq = screen_v.shape
+    m = tables_qa.shape[2]
+    qa = tables_qa.shape[0] * tables_qa.shape[1]
+    a = q * wq                                   # window-slot rows
+
+    cand_rows = window_rows(sel_wi.reshape(a), block_n, window)   # (A, W)
+    row_valid = cand_rows < sel_sz.reshape(a)[:, None]
     cand_rows_c = jnp.minimum(cand_rows, part_pad - 1)
-    flat_rows = sel_part[..., None] * part_pad + cand_rows_c    # (Q, wq, W)
-    cand_lab = index.labels.reshape(-1)[flat_rows]              # (Q, wq, W)
-    cand_codes = index.codes.reshape(-1, m // 2)[flat_rows]     # (Q, wq, W, cb)
-    idx = unpack_codes(cand_codes, m, 4)                   # (Q, wq, W, M)
-    # Exact per-candidate distance WITHOUT gathers: 16 vectorized
-    # select-accumulate passes (element gathers lower pathologically on TPU).
-    if rerank:
-        tw = tables.reshape(qa, m, 16)[sel_pair]           # (Q, wq, M, 16) rows
-    else:
-        tw = qtables.reshape(qa, m, 16).astype(jnp.float32)[sel_pair]
-    cvf = jnp.zeros((q, wq, window), jnp.float32)
+    flat_rows = (sel_part.reshape(a)[:, None] * part_pad + cand_rows_c).reshape(
+        a * window
+    )
+    cand_lab = labels_flat[flat_rows]                             # (A*W,)
+    cand_codes = codes_flat[flat_rows]                            # (A*W, cb)
+    idx = unpack_codes(cand_codes, m, 4)                          # (A*W, M)
+    idx2 = idx.reshape(a, window * m)                             # (A, W*M)
+
+    # Per-window-slot tables in J-MAJOR lane order: tw2[:, j*m + mi].
+    tj = tables_qa.reshape(qa, m, 16).transpose(0, 2, 1).reshape(qa, 16 * m)
+    tw2 = tj[sel_pair.reshape(a)]                                 # (A, 16*M)
+    # Select-accumulate over the 16 centroid ids; lanes stay W*M-wide.
+    cvf2 = jnp.zeros((a, window * m), jnp.float32)
     for j in range(16):
-        cvf = cvf + jnp.sum(
-            jnp.where(idx == j, tw[:, :, None, :, j], 0.0), axis=-1
-        )
-    cvf = cvf.reshape(q, wq * window)
-    alive = row_valid.reshape(q, wq * window) & jnp.repeat(
-        jnp.isfinite(screen_v), window, axis=1
+        tw_j = jnp.tile(tw2[:, j * m : (j + 1) * m], (1, window))  # (A, W*M)
+        cvf2 = cvf2 + jnp.where(idx2 == j, tw_j, 0.0)
+    # Sum each candidate's M entries: (A, W*M) -> (A*W, M) -> (A*W,).
+    cvf = jnp.sum(cvf2.reshape(a * window, m), axis=1)
+    alive = row_valid.reshape(a * window) & jnp.repeat(
+        jnp.isfinite(screen_v).reshape(a), window
     )
     cvf = jnp.where(alive, cvf, jnp.inf)
-    return topk_smallest(cvf, cand_lab.reshape(q, wq * window), r)
+    return topk_smallest(
+        cvf.reshape(q, wq * window), cand_lab.reshape(q, wq * window), r
+    )
 
 
 def search_qadc(

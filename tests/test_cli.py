@@ -99,3 +99,27 @@ def test_convert_quantizer(dataset):
     main(["convert-quantizer", "opq", pin2, out2])
     opq = load_quantizer_file(out2)
     np.testing.assert_allclose(np.asarray(opq.rotation), rot)
+
+
+def test_info_and_residuals_out(dataset, capsys):
+    idx = str(dataset["tmp"] / "ivf_idx2")
+    res = str(dataset["tmp"] / "residuals.fvecs")
+    main(["create-index", dataset["learn"], idx, "--parts", "8", "--sq", "16x4",
+          "--residuals-out", res])
+    capsys.readouterr()
+    from qadc_tpu.io import vecs_info, load_vectors
+
+    assert vecs_info(res) == (32, 2000)
+    main(["info", idx])
+    out = capsys.readouterr().out
+    assert "type: ivf" in out and "sq=16x4" in out and "partitions: 8" in out
+    # Residuals round-trip: vec = centroid + residual (reference check).
+    import numpy as np
+    from qadc_tpu.io import load_index
+    from qadc_tpu.ops.knn import assign_nearest
+
+    index = load_index(idx)
+    learn = load_vectors(dataset["learn"])
+    a = np.asarray(assign_nearest(learn, index.coarse_centroids))
+    recon = np.asarray(index.coarse_centroids)[a] + load_vectors(res)
+    np.testing.assert_allclose(recon, learn, atol=1e-4)
