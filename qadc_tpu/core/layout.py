@@ -39,6 +39,37 @@ def pad_codes_to_block(codes: np.ndarray, block: int = DEFAULT_BLOCK) -> np.ndar
     return np.concatenate([codes, pad], axis=0)
 
 
+def codes_per_row(code_size: int) -> int:
+    """Codes per 128-byte storage row."""
+    if 128 % code_size != 0:
+        raise ValueError(f"code_size {code_size} must divide 128")
+    return 128 // code_size
+
+
+def to_row128(codes: np.ndarray) -> np.ndarray:
+    """(N_pad, code_size) packed codes -> (N_pad/cpr, 128) storage rows.
+
+    TPU arrays want a 128-multiple minor dim: a u8 (N, 8) array gets 16x
+    layout padding whenever an op (the Pallas call included) materializes its
+    tiled form — measured 2 GB of padding for 128 MB of codes, and an HBM OOM
+    at Deep100M scale. Sixteen consecutive codes' bytes = one 128-byte row, so
+    the conversion is a host-side reshape.
+    """
+    n, cb = codes.shape
+    cpr = codes_per_row(cb)
+    if n % cpr != 0:
+        raise ValueError(f"N {n} must be a multiple of {cpr}")
+    return np.ascontiguousarray(codes).reshape(n // cpr, 128)
+
+
+def from_row128(rows: np.ndarray, code_size: int) -> np.ndarray:
+    """Inverse of to_row128."""
+    r, width = rows.shape
+    assert width == 128
+    cpr = codes_per_row(code_size)
+    return np.ascontiguousarray(rows).reshape(r * cpr, code_size)
+
+
 def pad_labels_to_block(labels: np.ndarray, block: int = DEFAULT_BLOCK) -> np.ndarray:
     """Pad (N,) labels to a block multiple by repeating the last label."""
     labels = np.asarray(labels, dtype=np.int32)

@@ -80,6 +80,37 @@ def unpack_codes(packed, sq_count: int, sq_bits: int):
     raise ValueError(f"unsupported sq_bits={sq_bits}")
 
 
+def row128_to_codes(rows, code_size: int):
+    """jnp: (R, 128) storage rows -> (R*cpr, code_size) packed codes.
+
+    Device-side inverse of core.layout.to_row128. Fine for SMALL arrays
+    (gathered candidates, prefixes); converting a whole index materializes the
+    padded narrow layout — use the kernels for bulk scans instead.
+    """
+    rows = jnp.asarray(rows)
+    r = rows.shape[0]
+    cpr = 128 // code_size
+    return rows.reshape(r * cpr, code_size)
+
+
+def gather_codes_row128(rows128, row_ids, code_size: int):
+    """jnp: gather packed codes by GLOBAL code row id from row128 storage.
+
+    rows128: (R, 128) u8; row_ids: (...,) int32 code indices.
+    Returns (..., code_size) u8. Row gather + cpr-way lane select (single-axis
+    gathers only; see docs/kernels.md).
+    """
+    cpr = 128 // code_size
+    picked = rows128[row_ids // cpr]                       # (..., 128)
+    c = (row_ids % cpr)[..., None]
+    out = jnp.zeros((*row_ids.shape, code_size), jnp.uint8)
+    for ci in range(cpr):
+        out = jnp.where(
+            c == ci, picked[..., ci * code_size : (ci + 1) * code_size], out
+        )
+    return out
+
+
 def unpack_nibbles_split(packed):
     """Split packed 4-bit codes into (low, high) nibble planes without interleaving.
 

@@ -25,6 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
+from qadc_tpu.core.packing import gather_codes_row128, row128_to_codes, unpack_codes
 from qadc_tpu.dist.mesh import SHARD_AXIS, make_mesh
 from qadc_tpu.index.flat import FlatIndex, _prefix_size
 from qadc_tpu.kernels.scan_ref import adc_scan_f32, adc_scan_int8
@@ -38,16 +39,21 @@ from qadc_tpu.ops.topk import topk_smallest
 
 
 def shard_flat_codes(index: FlatIndex, mesh) -> FlatIndex:
-    """Re-pad codes so every shard gets equal rows; place sharded on the mesh."""
+    """Re-pad codes so every shard gets equal rows; place sharded on the mesh.
+
+    Codes are row128 storage; padding granularity is d*1024 codes.
+    """
     d = mesh.shape[SHARD_AXIS]
-    codes = np.asarray(index.codes)
-    n_pad = codes.shape[0]
+    rows = np.asarray(index.codes)
+    cpr = index.cpr
+    n_pad = rows.shape[0] * cpr
     target = -(-n_pad // (d * 1024)) * (d * 1024)
     if target != n_pad:
-        pad = np.broadcast_to(codes[-1], (target - n_pad, codes.shape[1]))
-        codes = np.concatenate([codes, pad], axis=0)
+        pad_rows = (target - n_pad) // cpr
+        pad = np.broadcast_to(rows[-1], (pad_rows, 128))
+        rows = np.concatenate([rows, pad], axis=0)
     sharded = jax.device_put(
-        jnp.asarray(codes), NamedSharding(mesh, P(SHARD_AXIS, None))
+        jnp.asarray(rows), NamedSharding(mesh, P(SHARD_AXIS, None))
     )
     return FlatIndex(pq=index.pq, codes=sharded, n=index.n)
 
@@ -69,7 +75,9 @@ def search_qadc_flat_sharded(
     if index.pq.sq_bits != 4:
         raise ValueError("Quick ADC requires sq_bits == 4")
     d = mesh.shape[SHARD_AXIS]
-    n_pad = index.codes.shape[0]
+    cpr = index.cpr
+    cb = index.pq.code_size
+    n_pad = index.n_pad
     local_rows = n_pad // d
 
     rotated = index.pq.rotate(queries)
@@ -80,7 +88,8 @@ def search_qadc_flat_sharded(
     # Keep-prefix bound from the global prefix (computed replicated; prefix is
     # a slice of shard 0's rows — gathered automatically by XLA, it is tiny).
     ps = _prefix_size(index.n if index.n else n_pad, keep)
-    prefix_d = adc_scan_f32(index.codes[:ps], tables, 4)
+    prefix = row128_to_codes(index.codes[: -(-ps // cpr)], cb)[:ps]
+    prefix_d = adc_scan_f32(prefix, tables, 4)
     bound = keep_prefix_bound(prefix_d, r)
     tables_nn = jnp.maximum(tables, 0.0)
     max_possible = jnp.sum(jnp.max(tables_nn, axis=-1), axis=-1)
@@ -95,16 +104,15 @@ def search_qadc_flat_sharded(
     def local_shard(codes_local, qt, tf):
         shard_i = jax.lax.axis_index(SHARD_AXIS)
         offset = shard_i * local_rows
-        acc = adc_scan_int8(codes_local, qt, saturate=False).astype(jnp.float32)
+        packed_local = row128_to_codes(codes_local, cb)
+        acc = adc_scan_int8(packed_local, qt, saturate=False).astype(jnp.float32)
         glabels = offset + jnp.arange(local_rows, dtype=jnp.int32)
         acc = jnp.where(glabels[None, :] < n_real, acc, jnp.inf)
         neg_top, rows = jax.lax.top_k(-acc, rr)
         cl = rows + offset
         if rerank:
             # Float rerank against LOCAL codes — candidates' codes stay on-shard.
-            cand_codes = codes_local[rows]                   # (Q, rr, cb)
-            from qadc_tpu.core.packing import unpack_codes
-
+            cand_codes = gather_codes_row128(codes_local, rows, cb)  # (Q, rr, cb)
             idx = unpack_codes(cand_codes, m, 4)
             oh = jax.nn.one_hot(idx, 16, dtype=jnp.float32).reshape(q, rr, m * 16)
             cv = jnp.einsum("qcf,qf->qc", oh, tf, preferred_element_type=jnp.float32)
@@ -136,7 +144,8 @@ def search_adc_flat_sharded(index: FlatIndex, queries, r: int = 100, mesh=None):
 @partial(jax.jit, static_argnames=("r", "mesh"))
 def _search_adc_flat_sharded_impl(index: FlatIndex, queries, r: int, mesh):
     d = mesh.shape[SHARD_AXIS]
-    n_pad = index.codes.shape[0]
+    cb = index.pq.code_size
+    n_pad = index.n_pad
     local_rows = n_pad // d
     rotated = index.pq.rotate(queries)
     tables = adc_tables(rotated, index.pq.centroids)
@@ -147,7 +156,7 @@ def _search_adc_flat_sharded_impl(index: FlatIndex, queries, r: int, mesh):
     def local_shard(codes_local, t):
         shard_i = jax.lax.axis_index(SHARD_AXIS)
         offset = shard_i * local_rows
-        dists = adc_scan_f32(codes_local, t, sq_bits)
+        dists = adc_scan_f32(row128_to_codes(codes_local, cb), t, sq_bits)
         glabels = offset + jnp.arange(local_rows, dtype=jnp.int32)
         dists = jnp.where(glabels[None, :] < n_real, dists, jnp.inf)
         neg_top, rows = jax.lax.top_k(-dists, rr)

@@ -31,7 +31,8 @@ from qadc_tpu.index.routing import route_queries
 from qadc_tpu.kernels.lut_scan import (
     build_scan_tables,
     lut_scan_grouped_prefetch,
-    window_rows,
+    slots_to_rows,
+    window_slots,
 )
 from qadc_tpu.ops.quantization import (
     clamp_bound_to_max_distance,
@@ -120,10 +121,14 @@ def _search_impl(
             1, (sizes_pair.astype(jnp.float32) * keep).astype(jnp.int32)
         )
         starts_sizes = jnp.where(sizes_pair > 0, starts_sizes, 0)
-        prow = parts_safe[:, :, None] * part_pad + jnp.arange(
-            prefix_pad, dtype=jnp.int32
+        cpr = 128 // cb
+        rows_per_part = part_pad // cpr
+        pp_rows = -(-prefix_pad // cpr)
+        prow = parts_safe[:, :, None] * rows_per_part + jnp.arange(
+            pp_rows, dtype=jnp.int32
         )
-        pcodes = codes_l.reshape(-1, cb)[prow]              # (Q, ma, pp, cb)
+        prefix_rows = codes_l.reshape(-1, 128)[prow]        # (Q, ma, ppr, 128)
+        pcodes = prefix_rows.reshape(q, ma, pp_rows * cpr, cb)[:, :, :prefix_pad]
         pidx = unpack_codes(pcodes, m, 4)                   # (Q, ma, pp, M)
         pd = jnp.zeros((q, ma, prefix_pad), jnp.float32)
         for j in range(16):
@@ -165,15 +170,15 @@ def _search_impl(
             .reshape(gcap * lanes, g)
         )
         vals = lut_scan_grouped_prefetch(
-            codes_l.reshape(-1, cb), routed.group_part, glo, ghi,
-            rows_per_group=part_pad, block_n=block_n, window=window,
+            codes_l.reshape(-1, 128), routed.group_part, glo, ghi,
+            rows_per_group=part_pad, cb=cb, block_n=block_n, window=window,
             interpret=interpret,
         )
         c = part_pad // window
         vals_rows = vals.reshape(gcap, c, g).transpose(0, 2, 1).reshape(gcap * g, c)
         cv = vals_rows[qa_g * g + qa_s].astype(jnp.float32)
         win_ids = jnp.arange(c, dtype=jnp.int32)
-        all_rows = window_rows(win_ids, block_n, window)
+        all_rows = slots_to_rows(window_slots(win_ids, block_n, window), block_n, cb)
         szf = sizes_pair.reshape(qa)
         win_valid = (jnp.min(all_rows, axis=1)[None, :] < szf[:, None]) & owned.reshape(
             qa
@@ -193,7 +198,7 @@ def _search_impl(
         sel_part = jnp.take_along_axis(parts_safe, sel_ai, axis=1)
         sel_sz = jnp.take_along_axis(sizes_pair, sel_ai, axis=1)
         lv, ll = window_rerank(
-            codes_l.reshape(-1, cb), labels_l.reshape(-1), part_pad,
+            codes_l.reshape(-1, 128), labels_l.reshape(-1), part_pad,
             tables_g, screen_v, sel_part, sel_pair, sel_wi, sel_sz,
             r, block_n, window,
         )

@@ -2,8 +2,9 @@
 
 Reference: flat_db (databases.hpp:77-167) — "assignment" is the identity (the
 query is its own residual, databases.hpp:93-116), add = parallel encode into a
-growing code buffer. Here codes live device-side as a padded (N_pad, code_size)
-uint8 array; add re-pads (host-side, append-only); search is jitted.
+growing code buffer. Codes live device-side in ROW128 storage (16 codes per
+128-byte row for 8-byte codes — core/layout.py; narrow minor dims take 16x
+TPU layout padding); add re-pads host-side (append-only); search is jitted.
 
 Search paths (reference: scanner_simple db_query.cpp:17-46, scanner_4
 db_query_4.cpp:73-310):
@@ -21,8 +22,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from qadc_tpu.core.layout import DEFAULT_BLOCK, pad_codes_to_block
-from qadc_tpu.core.packing import unpack_codes
+from qadc_tpu.core.layout import (
+    DEFAULT_BLOCK,
+    codes_per_row,
+    pad_codes_to_block,
+    to_row128,
+)
+from qadc_tpu.core.packing import gather_codes_row128, row128_to_codes, unpack_codes
 from qadc_tpu.ops.topk import screen_smallest, topk_smallest
 from qadc_tpu.kernels.lut_scan import (
     DEFAULT_BLOCK_N,
@@ -54,8 +60,9 @@ class FlatIndex:
 
     Attributes:
       pq: ProductQuantizer (or OPQQuantizer).
-      codes: (N_pad, code_size) uint8 packed codes; padded tail repeats the
-        last code (labels clamp to n-1, reference quirk simd_scan.hpp:67).
+      codes: (N_pad/cpr, 128) uint8 ROW128 storage (cpr = 128/code_size);
+        padded tail repeats the last code (labels clamp to n-1, reference
+        quirk simd_scan.hpp:67).
       n: real (unpadded) vector count — static.
     """
 
@@ -63,20 +70,28 @@ class FlatIndex:
     codes: jax.Array
     n: int
 
+    @property
+    def cpr(self) -> int:
+        return codes_per_row(self.pq.code_size)
+
+    @property
+    def n_pad(self) -> int:
+        return self.codes.shape[0] * self.cpr
+
     @classmethod
     def create(cls, pq: ProductQuantizer) -> "FlatIndex":
         """Empty index (reference: flatdb_create.cpp:39-66)."""
+        cpr = codes_per_row(pq.code_size)
         return cls(
             pq=pq,
-            codes=jnp.zeros((DEFAULT_BLOCK, pq.code_size), jnp.uint8),
+            codes=jnp.zeros((DEFAULT_BLOCK // cpr, 128), jnp.uint8),
             n=0,
         )
 
     @property
     def labels(self):
         """(N_pad,) int32, padded tail clamped to n-1."""
-        n_pad = self.codes.shape[0]
-        lab = jnp.arange(n_pad, dtype=jnp.int32)
+        lab = jnp.arange(self.n_pad, dtype=jnp.int32)
         return jnp.minimum(lab, max(self.n - 1, 0))
 
 
@@ -87,16 +102,19 @@ def add(index: FlatIndex, vectors, encode_batch: int = 262144) -> FlatIndex:
     Host-side re-pad; call outside jit.
     """
     vectors = np.asarray(vectors, np.float32)
+    cb = index.pq.code_size
     chunks = []
     for s in range(0, vectors.shape[0], encode_batch):
         chunks.append(np.asarray(encode(index.pq, vectors[s : s + encode_batch])))
-    old = np.asarray(index.codes[: index.n]) if index.n else np.zeros(
-        (0, index.pq.code_size), np.uint8
+    old = (
+        np.asarray(index.codes).reshape(-1, cb)[: index.n]
+        if index.n
+        else np.zeros((0, cb), np.uint8)
     )
     all_codes = np.concatenate([old] + chunks, axis=0)
     return FlatIndex(
         pq=index.pq,
-        codes=jnp.asarray(pad_codes_to_block(all_codes)),
+        codes=jnp.asarray(to_row128(pad_codes_to_block(all_codes))),
         n=int(all_codes.shape[0]),
     )
 
@@ -133,7 +151,8 @@ def search_adc(index: FlatIndex, queries, r: int = 100):
     """
     rotated = index.pq.rotate(queries)  # flat assignment = identity residual
     tables = adc_tables(rotated, index.pq.centroids)  # (Q, M, K)
-    n_pad = index.codes.shape[0]
+    n_pad = index.n_pad
+    cb = index.pq.code_size
     on_tpu = jax.default_backend() == "tpu"
     enough = n_pad // DEFAULT_WINDOW >= 8 * r
 
@@ -142,14 +161,16 @@ def search_adc(index: FlatIndex, queries, r: int = 100):
         tlo, thi = build_scan_tables(tables)
         vals, rows = lut_scan_reduce(
             index.codes, tlo.astype(jnp.float32), thi.astype(jnp.float32),
-            acc_dtype_name="float32",
+            cb=cb, acc_dtype_name="float32",
         )
-    elif on_tpu and enough and index.pq.sq_bits == 8 and n_pad % 256 == 0:
+    elif on_tpu and enough and index.pq.sq_bits == 8 and n_pad % 256 == 0 \
+            and 128 % cb == 0:
         t8 = build_scan8_tables(tables)
-        vals, rows = lut_scan8_reduce(index.codes, t8)
+        vals, rows = lut_scan8_reduce(index.codes, t8, m=index.pq.sq_count)
     else:
+        packed = row128_to_codes(index.codes, cb)
         return scan_topk_f32(
-            index.codes, index.labels, tables, index.pq.sq_bits, r,
+            packed, index.labels, tables, index.pq.sq_bits, r,
             num_valid=index.n,
         )
 
@@ -159,7 +180,8 @@ def search_adc(index: FlatIndex, queries, r: int = 100):
     rr = min(2 * r, vals_t.shape[1])
     screen_v, sel = screen_smallest(vals_t, rr)
     cand = jnp.take_along_axis(rows_t, sel, axis=1)       # (Q, rr) row ids
-    fd = _exact_rerank(tables, index.codes[cand], index.pq.sq_bits)
+    cand_codes = gather_codes_row128(index.codes, cand, cb)
+    fd = _exact_rerank(tables, cand_codes, index.pq.sq_bits)
     fd = jnp.where(jnp.isfinite(screen_v), fd, jnp.inf)
     return topk_smallest(fd, cand, r)
 
@@ -190,10 +212,14 @@ def search_qadc(
         raise ValueError("Quick ADC requires sq_bits == 4")
     rotated = index.pq.rotate(queries)
     tables = adc_tables(rotated, index.pq.centroids)  # (Q, M, 16)
+    cb = index.pq.code_size
+    cpr = index.cpr
+    n_pad = index.n_pad
 
     # Keep-prefix float scan -> per-query bound.
-    ps = _prefix_size(index.n if index.n else index.codes.shape[0], keep)
-    prefix = index.codes[:ps]
+    ps = _prefix_size(index.n if index.n else n_pad, keep)
+    prefix_rows = -(-ps // cpr)
+    prefix = row128_to_codes(index.codes[:prefix_rows], cb)[:ps]
     prefix_d = adc_scan_f32(prefix, tables, 4)  # (Q, ps)
     bound = keep_prefix_bound(prefix_d, r)      # (Q,)
 
@@ -209,7 +235,6 @@ def search_qadc(
     # The Pallas LUT-scan kernel runs when its geometry fits and the candidate
     # pool after window reduction is comfortably larger than r; small indexes
     # use the jnp path (already fast at that size).
-    n_pad = index.codes.shape[0]
     use_kernel = (
         jax.default_backend() == "tpu"
         and index.pq.sq_count in (16, 32)
@@ -219,26 +244,20 @@ def search_qadc(
 
     def _screen(k):
         if use_kernel:
-            return lut_scan_topk_int8(index.codes, qtables, k, index.n)
+            return lut_scan_topk_int8(index.codes, qtables, k, index.n, cb=cb)
+        packed = row128_to_codes(index.codes, cb)
         return scan_topk_int8(
-            index.codes, index.labels, qtables, k, num_valid=index.n
+            packed, index.labels, qtables, k, num_valid=index.n
         )
 
     if not rerank:
         return _screen(r)
 
-    rr = min(2 * r, index.codes.shape[0])
+    rr = min(2 * r, n_pad)
     screen_v, cand = _screen(rr)
     # Flat labels are row ids, so candidates gather directly.
-    cand_codes = index.codes[cand]                 # (Q, rr, cb)
-    q = cand.shape[0]
-    m, k = index.pq.sq_count, index.pq.sq_centroid_count
-    idx = unpack_codes(cand_codes, m, 4)           # (Q, rr, M)
-    oh = jax.nn.one_hot(idx, k, dtype=jnp.float32).reshape(q, rr, m * k)
-    fd = jnp.einsum(
-        "qcf,qf->qc", oh, tables.reshape(q, m * k),
-        preferred_element_type=jnp.float32,
-    )
+    cand_codes = gather_codes_row128(index.codes, cand, cb)   # (Q, rr, cb)
+    fd = _exact_rerank(tables, cand_codes, 4)
     # Keep masked (padding) screen entries masked after rerank.
     fd = jnp.where(jnp.isfinite(screen_v), fd, jnp.inf)
     return topk_smallest(fd, cand, r)

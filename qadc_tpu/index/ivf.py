@@ -25,8 +25,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from qadc_tpu.core.packing import unpack_codes
-from qadc_tpu.kernels.lut_scan import window_rows
+from qadc_tpu.core.layout import codes_per_row
+from qadc_tpu.core.packing import gather_codes_row128, row128_to_codes, unpack_codes
+from qadc_tpu.kernels.lut_scan import slots_to_rows, window_slots
 from qadc_tpu.ops.kmeans import kmeans
 from qadc_tpu.ops.knn import exact_knn, assign_nearest
 from qadc_tpu.ops.quantization import (
@@ -54,7 +55,7 @@ class IVFIndex:
     Attributes:
       pq: ProductQuantizer / OPQQuantizer (trained on residuals).
       coarse_centroids: (P, dim) float32.
-      codes: (P, part_pad, code_size) uint8.
+      codes: (P, part_pad/cpr, 128) uint8 ROW128 storage (core/layout.py).
       labels: (P, part_pad) int32.
       part_sizes: (P,) int32 real sizes.
       n: total real vector count — static.
@@ -74,18 +75,23 @@ class IVFIndex:
         return self.coarse_centroids.shape[0]
 
     @property
+    def cpr(self) -> int:
+        return codes_per_row(self.pq.code_size)
+
+    @property
     def part_pad(self) -> int:
-        return self.codes.shape[1]
+        return self.codes.shape[1] * self.cpr
 
     @classmethod
     def create(cls, pq: ProductQuantizer, coarse_centroids) -> "IVFIndex":
         """Empty index (reference: indexdb_create1/2)."""
         cc = jnp.asarray(coarse_centroids, jnp.float32)
         p = cc.shape[0]
+        cpr = codes_per_row(pq.code_size)
         return cls(
             pq=pq,
             coarse_centroids=cc,
-            codes=jnp.zeros((p, PART_ALIGN, pq.code_size), jnp.uint8),
+            codes=jnp.zeros((p, PART_ALIGN // cpr, 128), jnp.uint8),
             labels=jnp.zeros((p, PART_ALIGN), jnp.int32),
             part_sizes=jnp.zeros((p,), jnp.int32),
             n=0,
@@ -137,8 +143,10 @@ def add(index: IVFIndex, vectors, encode_batch: int = 262144) -> IVFIndex:
 
     p = index.part_count
     cb = index.pq.code_size
+    cpr = index.cpr
     old_sizes = np.asarray(index.part_sizes)
-    old_codes = np.asarray(index.codes)
+    # row128 -> per-partition packed codes for repacking.
+    old_codes = np.asarray(index.codes).reshape(p, -1, cb)
     old_labels = np.asarray(index.labels)
 
     # Vectorized scatter (a per-partition python loop is too slow at 100M-
@@ -175,7 +183,7 @@ def add(index: IVFIndex, vectors, encode_batch: int = 262144) -> IVFIndex:
     return IVFIndex(
         pq=index.pq,
         coarse_centroids=index.coarse_centroids,
-        codes=jnp.asarray(codes3),
+        codes=jnp.asarray(codes3.reshape(p, part_pad // cpr, 128)),
         labels=jnp.asarray(labels3),
         part_sizes=jnp.asarray(sizes),
         n=index.n + int(vectors.shape[0]),
@@ -218,7 +226,9 @@ def search_adc(index: IVFIndex, queries, r: int = 100, ma: int = 1):
     def scan_one_assignment(ass_i, carry):
         best_v, best_l = carry
         pids = jax.lax.dynamic_index_in_dim(parts, ass_i, 1, keepdims=False)
-        pcodes = index.codes[pids]                     # (Q, part_pad, cb)
+        pcodes = index.codes[pids].reshape(
+            -1, index.part_pad, index.pq.code_size
+        )                                              # (Q, part_pad, cb)
         plabels = index.labels[pids]                   # (Q, part_pad)
         oh = _one_hot_gathered(pcodes, m, index.pq.sq_bits, jnp.float32)
         t = jax.lax.dynamic_index_in_dim(tflat, ass_i, 1, keepdims=False)
@@ -260,7 +270,7 @@ def _search_qadc_impl(
     def scan_one_assignment(ass_i, carry):
         best_v, best_l = carry
         pids = jax.lax.dynamic_index_in_dim(parts, ass_i, 1, keepdims=False)
-        pcodes = index.codes[pids]   # (Q, part_pad, cb)
+        pcodes = index.codes[pids].reshape(-1, index.part_pad, index.pq.code_size)
         plabels = index.labels[pids]
         ohc = _one_hot_gathered(pcodes, m, 4, jnp.int8)
         qt = jax.lax.dynamic_index_in_dim(qtflat, ass_i, 1, keepdims=False)
@@ -305,11 +315,17 @@ def _quantized_tables(index, queries, r, ma, keep, prefix_pad):
         1, (sizes.astype(jnp.float32) * keep).astype(jnp.int32)
     )
     starts_sizes = jnp.where(sizes > 0, starts_sizes, 0)
-    # Flat single-axis row gather of the keep-prefix codes; distances via
+    # Flat single-axis ROW128 gather of the keep-prefix codes; distances via
     # select-accumulate (no one-hot materialization, no element gathers).
-    part_pad = index.part_pad
-    prow = parts[:, :, None] * part_pad + jnp.arange(prefix_pad, dtype=jnp.int32)
-    pcodes_prefix = index.codes.reshape(-1, index.pq.code_size)[prow]
+    cpr = index.cpr
+    rows_per_part = index.part_pad // cpr
+    pp_rows = -(-prefix_pad // cpr)
+    prow = parts[:, :, None] * rows_per_part + jnp.arange(pp_rows, dtype=jnp.int32)
+    prefix_rows = index.codes.reshape(-1, 128)[prow]        # (Q, ma, ppr, 128)
+    q_, ma_ = parts.shape
+    pcodes_prefix = prefix_rows.reshape(
+        q_, ma_, pp_rows * cpr, index.pq.code_size
+    )[:, :, :prefix_pad]
     pidx = unpack_codes(pcodes_prefix, m, 4)               # (Q, ma, pp, M)
     pd = jnp.zeros((q, ma, prefix_pad), jnp.float32)
     for j in range(16):
@@ -353,7 +369,6 @@ def _search_qadc_grouped_impl(
     from qadc_tpu.kernels.lut_scan import (
         build_scan_tables,
         lut_scan_grouped_prefetch,
-        window_rows,
     )
 
     parts, tables, qtables = _quantized_tables(index, queries, r, ma, keep, prefix_pad)
@@ -388,10 +403,10 @@ def _search_qadc_grouped_impl(
     )
 
     # Scan each group's partition IN PLACE (scalar-prefetch block routing —
-    # no gather copy of the scanned bytes).
+    # no gather copy of the scanned bytes). Codes are row128 storage.
     vals = lut_scan_grouped_prefetch(
-        index.codes.reshape(-1, m // 2), routed.group_part, glo, ghi,
-        rows_per_group=part_pad, block_n=block_n, window=window,
+        index.codes.reshape(-1, 128), routed.group_part, glo, ghi,
+        rows_per_group=part_pad, cb=m // 2, block_n=block_n, window=window,
         interpret=interpret,
     )
     c = part_pad // window
@@ -404,7 +419,8 @@ def _search_qadc_grouped_impl(
     p_of_pair = parts.reshape(qa)
     sz = index.part_sizes[p_of_pair]                      # (QA,)
     win_ids = jnp.arange(c, dtype=jnp.int32)
-    all_rows = window_rows(win_ids, block_n, window)      # (C, W) local rows
+    all_slots = window_slots(win_ids, block_n, window)    # (C, W) local slots
+    all_rows = slots_to_rows(all_slots, block_n, m // 2)  # (C, W) local rows
     win_has_valid = jnp.min(all_rows, axis=1)[None, :] < sz[:, None]
     cv = jnp.where(win_has_valid, cv, jnp.inf)
 
@@ -422,7 +438,7 @@ def _search_qadc_grouped_impl(
 
     tw_src = tables if rerank else qtables.astype(jnp.float32)
     return window_rerank(
-        index.codes.reshape(-1, m // 2), index.labels.reshape(-1), part_pad,
+        index.codes.reshape(-1, 128), index.labels.reshape(-1), part_pad,
         tw_src, screen_v, sel_part, sel_pair, sel_wi,
         jnp.take_along_axis(sz.reshape(q, ma), sel_ai, axis=1),
         r, block_n, window,
@@ -430,7 +446,7 @@ def _search_qadc_grouped_impl(
 
 
 def window_rerank(
-    codes_flat, labels_flat, part_pad: int,
+    codes_rows, labels_flat, part_pad: int,
     tables_qa, screen_v, sel_part, sel_pair, sel_wi, sel_sz,
     r: int, block_n: int, window: int,
 ):
@@ -441,7 +457,8 @@ def window_rerank(
     OOMs HBM at Deep100M scale.
 
     Args:
-      codes_flat/labels_flat: (P*part_pad, cb) / (P*part_pad,) partition-major.
+      codes_rows/labels_flat: (P*part_pad/cpr, 128) row128 codes /
+        (P*part_pad,) labels, partition-major.
       tables_qa: (Q, ma, M, 16) float tables to rank with (float tables for
         rerank, quantized-as-float for reference-style ranking).
       screen_v: (Q, wq) screened window minima (inf = dead slot).
@@ -452,17 +469,19 @@ def window_rerank(
     """
     q, wq = screen_v.shape
     m = tables_qa.shape[2]
+    cb = m // 2
     qa = tables_qa.shape[0] * tables_qa.shape[1]
     a = q * wq                                   # window-slot rows
 
-    cand_rows = window_rows(sel_wi.reshape(a), block_n, window)   # (A, W)
+    cand_slots = window_slots(sel_wi.reshape(a), block_n, window)  # (A, W)
+    cand_rows = slots_to_rows(cand_slots, block_n, cb)             # (A, W) local
     row_valid = cand_rows < sel_sz.reshape(a)[:, None]
     cand_rows_c = jnp.minimum(cand_rows, part_pad - 1)
     flat_rows = (sel_part.reshape(a)[:, None] * part_pad + cand_rows_c).reshape(
         a * window
     )
     cand_lab = labels_flat[flat_rows]                             # (A*W,)
-    cand_codes = codes_flat[flat_rows]                            # (A*W, cb)
+    cand_codes = gather_codes_row128(codes_rows, flat_rows, cb)   # (A*W, cb)
     idx = unpack_codes(cand_codes, m, 4)                          # (A*W, M)
     idx2 = idx.reshape(a, window * m)                             # (A, W*M)
 

@@ -1,30 +1,33 @@
-"""Pallas TPU LUT-scan kernel — the Quick ADC hot loop, TPU-native.
+"""Pallas TPU LUT-scan kernels — the Quick ADC hot loop, TPU-native.
 
 Reference hot loop: scan_avx_4 (simd_scan.hpp:125-187) — per 16 codes, two
 pshufb LUT lookups per code byte, saturating int8 adds, bound-compare, heap.
 
-TPU formulation (see ARCHITECTURE.md): the 16-entry LUT gather is a one-hot ×
-table matmul on the MXU, serving a whole query batch per pass over the codes:
+TPU formulation (measured rationale in docs/kernels.md): the 16-entry LUT
+gather is a one-hot × table matmul on the MXU, serving a whole query batch per
+pass over the codes:
 
     acc[BLK, Q] = OneHotLo(codes)[BLK, 8M] @ tables_lo[8M, Q]
                 + OneHotHi(codes)[BLK, 8M] @ tables_hi[8M, Q]   (int8 -> int32)
 
-Measured design decisions (TPU v5e, 1M codes x 128 queries):
-  - One-hots are built in VMEM per block via a tiny MXU expansion matmul
-    rep = nibbles @ E (E: (M/2, 8M) placement matrix) followed by ONE vector
-    compare against a hoisted per-lane constant — 3.2x faster than
-    pltpu.repeat-based construction (which Mosaic lowers poorly).
-  - The branchy bound-pruned binheap becomes a STRIDED windowed min fused into
-    the kernel: within each block, window g = rows {g, g+G, g+2G, ...} so the
-    reduction is W-1 elementwise mins over contiguous tile-aligned slices (a
-    (G,W,Q) reshape triggers a full relayout and was ~3x slower end-to-end).
-    N/W candidates per query survive; exact top-k runs outside. Losing a true
-    top-r member needs two of them in one window: P ~ r^2*W/(2N) (negligible
-    at production ratios; keep N/W >> r).
-  - int32 accumulation (no 127 saturation): strictly more informative than the
-    reference's saturating adds, free on the MXU.
-  - Query batching amortizes: the same one-hot feeds all Q columns of the dot,
-    so wider query batches cost only MXU time, not construction.
+Design points, all measured on v5e:
+  - CODES STORAGE IS ROW128 (core/layout.py): u8 (N/cpr, 128), cpr=128/code
+    bytes. A narrow (N, 8) operand gets a 16x-padded tiled copy at the Pallas
+    call (2 GB per 128 MB of codes; OOM at Deep100M). Kernels deinterleave the
+    128-byte rows in VMEM into C-MAJOR SLOT ORDER (slot s = c*R + r for in-row
+    position c, raw row r); slots_to_rows maps slot ids back to code indices.
+  - One-hots are built in VMEM via a tiny MXU expansion matmul (nibbles @ E)
+    plus one compare against a hoisted lane constant — 3.2x faster than
+    repeat-based construction.
+  - The bound-pruned binheap becomes a fused STRIDED window min (a (G,W,Q)
+    reshape relayouts, ~3x whole-kernel cost): window g = slots {g, g+G, ...}.
+    The grouped kernel emits only window minima; whole winning windows are
+    exactly reranked by the caller (quantization ties harmless).
+  - int32 accumulation (no 127 saturation): strictly more informative than
+    the reference's saturating adds, free on the MXU.
+  - The grouped variant scans probed partitions IN PLACE: partition ids are
+    scalar-prefetch operands read by the codes BlockSpec index_map (20x over
+    pre-gathering at SIFT1M geometry).
 """
 
 from __future__ import annotations
@@ -37,12 +40,32 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-DEFAULT_BLOCK_N = 1024
+DEFAULT_BLOCK_N = 1024   # codes per kernel block
 DEFAULT_WINDOW = 16
 
 
-def _on_tpu() -> bool:
-    return jax.default_backend() == "tpu"
+def _deinterleave(raw, cb: int):
+    """(R, 128) u8 storage rows -> (cpr*R, cb) int32 codes in c-major slot order."""
+    cpr = 128 // cb
+    r32 = raw.astype(jnp.int32)
+    pieces = [r32[:, c * cb : (c + 1) * cb] for c in range(cpr)]
+    return jnp.concatenate(pieces, axis=0)
+
+
+def slots_to_rows(slots, block_n: int, cb: int):
+    """Map kernel SLOT ids to logical code row ids.
+
+    Within each block of block_n codes (R = block_n*cb/128 raw rows), slot
+    s = c*R + r holds the code at logical in-block position r*cpr + c.
+    Works on any int array of slot ids (block-local or global).
+    """
+    cpr = 128 // cb
+    r = block_n // cpr
+    blk = slots // block_n
+    s = slots % block_n
+    c = s // r
+    rr = s % r
+    return blk * block_n + rr * cpr + c
 
 
 def build_scan_tables(qtables, q_pad: int | None = None):
@@ -95,34 +118,42 @@ def _expand_consts(cb: int):
     return jnp.asarray(e, jnp.bfloat16), jnp.asarray(jpat)
 
 
-def _scan_kernel(
-    codes_ref, tlo_ref, thi_ref, jpat_ref, e_ref, vals_ref, idx_ref, *, window, acc_dtype
-):
-    """One grid step: scan BLK codes for all Qp queries; emit window minima."""
-    blk, cb = codes_ref.shape  # (BLK, M/2) uint8
-    g = blk // window
-    qp = tlo_ref.shape[1]
-
-    c = codes_ref[...].astype(jnp.int32)
-    lo = (c & 0x0F).astype(jnp.bfloat16)   # (BLK, M/2) even-sq nibbles
-    hi = (c >> 4).astype(jnp.bfloat16)     # odd-sq nibbles
-
-    # Lane expansion on the MXU + one compare -> one-hot (never touches HBM).
+def _accumulate(codes_c, tlo, thi, jpat_ref, e_ref, acc_dtype):
+    """Distances for deinterleaved int32 codes (BLK, cb) against table slabs."""
+    lo = (codes_c & 0x0F).astype(jnp.bfloat16)
+    hi = (codes_c >> 4).astype(jnp.bfloat16)
     e = e_ref[...]
     rep_lo = jnp.dot(lo, e, preferred_element_type=jnp.float32)
     rep_hi = jnp.dot(hi, e, preferred_element_type=jnp.float32)
     jp = jpat_ref[0:1, :]
-    if acc_dtype == jnp.int32:
-        oh_lo = (rep_lo == jp).astype(jnp.int8)
-        oh_hi = (rep_hi == jp).astype(jnp.int8)
-    else:
-        oh_lo = (rep_lo == jp).astype(jnp.float32)
-        oh_hi = (rep_hi == jp).astype(jnp.float32)
+    oh_dtype = jnp.int8 if acc_dtype == jnp.int32 else jnp.float32
+    oh_lo = (rep_lo == jp).astype(oh_dtype)
+    oh_hi = (rep_hi == jp).astype(oh_dtype)
+    acc = jnp.dot(oh_lo, tlo, preferred_element_type=acc_dtype)
+    return acc + jnp.dot(oh_hi, thi, preferred_element_type=acc_dtype)
 
-    acc = jnp.dot(oh_lo, tlo_ref[...], preferred_element_type=acc_dtype)
-    acc = acc + jnp.dot(oh_hi, thi_ref[...], preferred_element_type=acc_dtype)
 
-    # Strided windowed min+argmin: window g = rows {g, g+G, ...} of the block.
+def _window_min(acc, window: int):
+    """Strided window min over slots: window g = slots {g, g+G, 2G+g, ...}."""
+    blk = acc.shape[0]
+    g = blk // window
+    m = acc[0:g, :]
+    for w in range(1, window):
+        m = jnp.minimum(m, acc[w * g : (w + 1) * g, :])
+    return m
+
+
+def _scan_kernel(
+    codes_ref, tlo_ref, thi_ref, jpat_ref, e_ref, vals_ref, idx_ref,
+    *, window, acc_dtype, cb,
+):
+    """Flat scan block: window minima + arg-slot ids."""
+    codes_c = _deinterleave(codes_ref[...], cb)          # (BLK, cb) slot order
+    blk = codes_c.shape[0]
+    g = blk // window
+    qp = tlo_ref.shape[1]
+    acc = _accumulate(codes_c, tlo_ref[...], thi_ref[...], jpat_ref, e_ref, acc_dtype)
+
     m = acc[0:g, :]
     arg = jnp.zeros((g, qp), jnp.int32)
     for w in range(1, window):
@@ -133,34 +164,38 @@ def _scan_kernel(
     base = pl.program_id(0) * blk
     g_iota = jax.lax.broadcasted_iota(jnp.int32, (g, qp), 0)
     vals_ref[...] = m
-    idx_ref[...] = base + arg * g + g_iota
+    idx_ref[...] = base + arg * g + g_iota               # SLOT ids
 
 
 @functools.partial(
-    jax.jit, static_argnames=("block_n", "window", "interpret", "acc_dtype_name")
+    jax.jit, static_argnames=("cb", "block_n", "window", "interpret", "acc_dtype_name")
 )
 def lut_scan_reduce(
-    codes,
+    codes_rows,
     tables_lo,
     tables_hi,
+    cb: int = 8,
     block_n: int = DEFAULT_BLOCK_N,
     window: int = DEFAULT_WINDOW,
     interpret: bool = False,
     acc_dtype_name: str = "int32",
 ):
-    """Scan all codes; return per-window candidate (vals, rows).
+    """Scan all codes; return per-window candidates (vals, code ROW ids).
 
     Args:
-      codes: (N_pad, M/2) uint8 packed 4-bit codes, N_pad % block_n == 0.
+      codes_rows: (N_pad/cpr, 128) uint8 row128 storage (core/layout.to_row128),
+        N_pad % block_n == 0.
       tables_lo/hi: ((M/2)*16, Qp) int8 (int32 acc) or float32 (f32 acc).
+      cb: code bytes (M/2 for 4-bit).
       window: reduction window W (candidates = N_pad/W per query).
 
     Returns:
       (vals (N_pad/W, Qp), rows (N_pad/W, Qp) int32 global code rows).
-      Window g of block i covers rows {i*block_n + w*(block_n/W) + g}.
     """
-    n_pad, cb = codes.shape
+    cpr = 128 // cb
+    n_pad = codes_rows.shape[0] * cpr
     lanes = cb * 16
+    assert codes_rows.shape[1] == 128
     assert tables_lo.shape[0] == lanes, (tables_lo.shape, lanes)
     qp = tables_lo.shape[1]
     if n_pad % block_n != 0:
@@ -169,15 +204,18 @@ def lut_scan_reduce(
         raise ValueError(f"block_n {block_n} not a multiple of window {window}")
     acc_dtype = jnp.dtype(acc_dtype_name)
     g = block_n // window
+    r16 = block_n // cpr
     grid = (n_pad // block_n,)
     e, jpat = _expand_consts(cb)
 
-    kernel = functools.partial(_scan_kernel, window=window, acc_dtype=acc_dtype)
-    vals, rows = pl.pallas_call(
+    kernel = functools.partial(
+        _scan_kernel, window=window, acc_dtype=acc_dtype, cb=cb
+    )
+    vals, slots = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((block_n, cb), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((r16, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((lanes, qp), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((lanes, qp), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((8, lanes), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -197,128 +235,133 @@ def lut_scan_reduce(
             bytes_accessed=n_pad * cb + 2 * lanes * qp + 2 * (n_pad // window) * qp * 4,
             transcendentals=0,
         ),
-    )(codes, tables_lo, tables_hi, jpat, e)
-    return vals, rows
+    )(codes_rows, tables_lo, tables_hi, jpat, e)
+    return vals, slots_to_rows(slots, block_n, cb)
 
 
 def _grouped_scan_kernel(
-    codes_ref, tlo_ref, thi_ref, jpat_ref, e_ref, vals_ref, *, window, acc_dtype
+    codes_ref, tlo_ref, thi_ref, jpat_ref, e_ref, vals_ref, *, window, acc_dtype, cb
 ):
     """Grouped variant: table blocks are the current group's (lanes, G) slab.
 
-    Emits only window-min VALUES (no argmin): the caller reranks whole winning
-    windows, which both removes the argmin bookkeeping and makes quantization
-    ties harmless (any window containing a true neighbor surfaces it at
-    rerank; per-row argmin would drop tied neighbors ~W/N_ties of the time).
+    Emits only window-min VALUES (no arg): the caller reranks whole winning
+    windows (see window_rerank), which removes arg bookkeeping and makes
+    quantization ties harmless.
     """
-    blk, cb = codes_ref.shape
-    g = blk // window
-
-    c = codes_ref[...].astype(jnp.int32)
-    lo = (c & 0x0F).astype(jnp.bfloat16)
-    hi = (c >> 4).astype(jnp.bfloat16)
-    e = e_ref[...]
-    rep_lo = jnp.dot(lo, e, preferred_element_type=jnp.float32)
-    rep_hi = jnp.dot(hi, e, preferred_element_type=jnp.float32)
-    jp = jpat_ref[0:1, :]
-    oh_lo = (rep_lo == jp).astype(jnp.int8)
-    oh_hi = (rep_hi == jp).astype(jnp.int8)
-
-    acc = jnp.dot(oh_lo, tlo_ref[...], preferred_element_type=acc_dtype)
-    acc = acc + jnp.dot(oh_hi, thi_ref[...], preferred_element_type=acc_dtype)
-
-    m = acc[0:g, :]
-    for w in range(1, window):
-        m = jnp.minimum(m, acc[w * g : (w + 1) * g, :])
-    vals_ref[...] = m
+    codes_c = _deinterleave(codes_ref[...], cb)
+    acc = _accumulate(codes_c, tlo_ref[...], thi_ref[...], jpat_ref, e_ref, acc_dtype)
+    vals_ref[...] = _window_min(acc, window)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("rows_per_group", "block_n", "window", "interpret")
+    jax.jit,
+    static_argnames=("rows_per_group", "cb", "block_n", "window", "interpret"),
 )
-def lut_scan_grouped(
-    grouped_codes,
+def lut_scan_grouped_prefetch(
+    codes_rows,
+    group_part,
     tables_lo,
     tables_hi,
     rows_per_group: int,
+    cb: int = 8,
     block_n: int = 512,
     window: int = DEFAULT_WINDOW,
     interpret: bool = False,
 ):
-    """Grouped IVF scan: group gi scans its own rows with its own tables.
+    """Grouped IVF scan reading partitions IN PLACE via scalar prefetch.
 
     Args:
-      grouped_codes: (GCAP * rows_per_group, M/2) uint8 — group-major rows
-        (the gathered probed partitions).
-      tables_lo/hi: (GCAP * (M/2)*16, G) int8 — per-group table slabs,
-        group-major rows.
-      rows_per_group: padded partition size (static).
-      block_n: rows per kernel block; must divide rows_per_group.
+      codes_rows: (P * rows_per_group / cpr, 128) uint8 — partition-major
+        row128 storage (the IVFIndex codes reshaped).
+      group_part: (GCAP,) int32 — partition scanned by each group.
+      tables_lo/hi: (GCAP * (M/2)*16, G) int8 group-major table slabs.
+      rows_per_group: padded partition size in CODES (static).
 
     Returns:
-      vals (GCAP*rows_per_group/W, G) int32 — window-min values. Window wi of
-      group gi (wi in [0, rows_per_group/W)) covers the group's local rows
-      {(wi // gr)*block_n + w*gr + (wi % gr) : w in [0, W)}, gr = block_n/W
-      (see window_rows).
+      vals (GCAP*rows_per_group/W, G) int32 window minima. Window wi of group
+      gi covers the group's local SLOTS {(wi // gr)*block_n + w*gr + (wi % gr)}
+      (gr = block_n/W); map slots to code rows with slots_to_rows / use
+      window_slots + slots_to_rows for expansion.
     """
-    total, cb = grouped_codes.shape
+    cpr = 128 // cb
     lanes = cb * 16
     total_t, gq = tables_lo.shape
     gcap = total_t // lanes
-    assert total_t == gcap * lanes, (tables_lo.shape, lanes)
-    assert total == gcap * rows_per_group, (total, gcap, rows_per_group)
+    assert group_part.shape == (gcap,), (group_part.shape, gcap)
+    assert codes_rows.shape[1] == 128
     if rows_per_group % block_n != 0:
         raise ValueError(f"block_n {block_n} must divide rows_per_group {rows_per_group}")
     if block_n % window != 0:
         raise ValueError(f"block_n {block_n} not a multiple of window {window}")
     nblocks = rows_per_group // block_n
     g = block_n // window
-    grid = (gcap * nblocks,)
+    r16 = block_n // cpr
     e, jpat = _expand_consts(cb)
 
-    kernel = functools.partial(
-        _grouped_scan_kernel, window=window, acc_dtype=jnp.int32
+    body = functools.partial(
+        _grouped_scan_kernel, window=window, acc_dtype=jnp.int32, cb=cb
+    )
+
+    def kernel(gp_ref, *rest):  # scalar-prefetch ref arrives first; unused in body
+        body(*rest)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(gcap * nblocks,),
+        in_specs=[
+            pl.BlockSpec(
+                (r16, 128),
+                lambda i, gp: (gp[i // nblocks] * nblocks + i % nblocks, 0),
+            ),
+            pl.BlockSpec((lanes, gq), lambda i, gp: (i // nblocks, 0)),
+            pl.BlockSpec((lanes, gq), lambda i, gp: (i // nblocks, 0)),
+            pl.BlockSpec((8, lanes), lambda i, gp: (0, 0)),
+            pl.BlockSpec((cb, lanes), lambda i, gp: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((g, gq), lambda i, gp: (i, 0)),
     )
     vals = pl.pallas_call(
         kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((block_n, cb), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (lanes, gq), lambda i: (i // nblocks, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (lanes, gq), lambda i: (i // nblocks, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec((8, lanes), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((cb, lanes), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((g, gq), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((total // window, gq), jnp.int32),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((gcap * rows_per_group // window, gq), jnp.int32),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=2 * 2 * total * lanes * gq,
-            bytes_accessed=total * cb + 2 * gcap * lanes * gq
-            + (total // window) * gq * 4,
+            flops=2 * 2 * gcap * rows_per_group * lanes * gq,
+            bytes_accessed=gcap * rows_per_group * cb + 2 * gcap * lanes * gq,
             transcendentals=0,
         ),
-    )(grouped_codes, tables_lo, tables_hi, jpat, e)
+    )(group_part, codes_rows, tables_lo, tables_hi, jpat, e)
     return vals
 
 
-def _scan8_kernel(codes_ref, t_ref, jpat_ref, e_ref, vals_ref, idx_ref, *, window):
+def window_slots(window_ids, block_n: int, window: int):
+    """Expand window ids to the SLOTS they cover.
+
+    Args:
+      window_ids: (..., K) int32 window indices (within one group's slot space).
+
+    Returns:
+      (..., K, window) int32 slots; map to code rows with slots_to_rows.
+    """
+    gr = block_n // window
+    b = window_ids // gr
+    s = window_ids % gr
+    w = jnp.arange(window, dtype=jnp.int32)
+    return b[..., None] * block_n + w * gr + s[..., None]
+
+
+def _scan8_kernel(codes_ref, t_ref, jpat_ref, e_ref, vals_ref, idx_ref, *, window, m):
     """8-bit conventional ADC scan block: one-hot over 256 centroids per sq.
 
     Reference: scan_standard<uint8_t, NSQ> (query_common.hpp:92-118). Tables
     are bf16 for MXU rate; exactness is restored by the caller's f32 gather
-    rerank of the winning windows.
+    rerank of the winning candidates.
     """
-    blk, m = codes_ref.shape
-    lanes = m * 256
+    codes_c = _deinterleave(codes_ref[...], m)           # (BLK, M) slot order
+    blk = codes_c.shape[0]
     g = blk // window
 
-    # 0..255 exact in bf16; Mosaic lacks a direct uint8->bf16 cast.
-    c = codes_ref[...].astype(jnp.int32).astype(jnp.bfloat16)
+    c = codes_c.astype(jnp.bfloat16)  # 0..255 exact in bf16
     rep = jnp.dot(c, e_ref[...], preferred_element_type=jnp.float32)
     jp = jpat_ref[0:1, :]
     oh = (rep == jp).astype(jnp.bfloat16)
@@ -334,7 +377,7 @@ def _scan8_kernel(codes_ref, t_ref, jpat_ref, e_ref, vals_ref, idx_ref, *, windo
     base = pl.program_id(0) * blk
     g_iota = jax.lax.broadcasted_iota(jnp.int32, (g, acc.shape[1]), 0)
     vals_ref[...] = m_v
-    idx_ref[...] = base + arg * g + g_iota
+    idx_ref[...] = base + arg * g + g_iota               # SLOT ids
 
 
 @functools.lru_cache(maxsize=None)
@@ -357,37 +400,40 @@ def build_scan8_tables(tables, q_pad: int | None = None):
     return jnp.pad(t, [(0, 0), (0, q_pad - q)]).astype(jnp.bfloat16)
 
 
-@functools.partial(jax.jit, static_argnames=("block_n", "window", "interpret"))
+@functools.partial(jax.jit, static_argnames=("m", "block_n", "window", "interpret"))
 def lut_scan8_reduce(
-    codes, tables, block_n: int = 256, window: int = DEFAULT_WINDOW,
-    interpret: bool = False,
+    codes_rows, tables, m: int = 8, block_n: int = 256,
+    window: int = DEFAULT_WINDOW, interpret: bool = False,
 ):
-    """8-bit ADC scan over all codes: window minima + argmin rows.
+    """8-bit ADC scan over all codes: window minima + arg code rows.
 
     Args:
-      codes: (N_pad, M) uint8 — one byte per sub-quantizer.
+      codes_rows: (N_pad/cpr, 128) uint8 row128 storage (cpr = 128/M).
       tables: (M*256, Qp) bf16 (from build_scan8_tables).
+      m: sub-quantizer count (= code bytes at 8 bits).
 
     Returns:
-      (vals (N_pad/W, Qp) f32, rows (N_pad/W, Qp) int32).
+      (vals (N_pad/W, Qp) f32, rows (N_pad/W, Qp) int32 global code rows).
     """
-    n_pad, m = codes.shape
+    cpr = 128 // m
+    n_pad = codes_rows.shape[0] * cpr
     lanes = m * 256
     assert tables.shape[0] == lanes
     qp = tables.shape[1]
     if n_pad % block_n != 0:
         raise ValueError(f"N_pad {n_pad} not a multiple of block_n {block_n}")
     g = block_n // window
+    r16 = block_n // cpr
     e_np, jpat_np = _expand8_consts_np(m)
     e = jnp.asarray(e_np, jnp.bfloat16)
     jpat = jnp.asarray(jpat_np)
 
-    kernel = functools.partial(_scan8_kernel, window=window)
-    vals, rows = pl.pallas_call(
+    kernel = functools.partial(_scan8_kernel, window=window, m=m)
+    vals, slots = pl.pallas_call(
         kernel,
         grid=(n_pad // block_n,),
         in_specs=[
-            pl.BlockSpec((block_n, m), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((r16, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((lanes, qp), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((8, lanes), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((m, lanes), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -406,125 +452,30 @@ def lut_scan8_reduce(
             bytes_accessed=n_pad * m + 2 * lanes * qp,
             transcendentals=0,
         ),
-    )(codes, tables, jpat, e)
-    return vals, rows
+    )(codes_rows, tables, jpat, e)
+    return vals, slots_to_rows(slots, block_n, m)
 
 
 @functools.partial(
-    jax.jit,
-    static_argnames=("rows_per_group", "nblocks_total", "block_n", "window", "interpret"),
-)
-def lut_scan_grouped_prefetch(
-    codes,
-    group_part,
-    tables_lo,
-    tables_hi,
-    rows_per_group: int,
-    block_n: int = 512,
-    window: int = DEFAULT_WINDOW,
-    interpret: bool = False,
-    nblocks_total: int | None = None,
-):
-    """Grouped IVF scan reading partitions IN PLACE via scalar prefetch.
-
-    Unlike lut_scan_grouped (which consumes a pre-gathered group-major code
-    buffer — an extra HBM read+write of every scanned byte), the partition id
-    of each group is a scalar-prefetch operand and the codes BlockSpec
-    index_map routes each grid step's DMA directly into the partition-major
-    codes array. At Deep100M scale the gather copy (~1 GB/batch) disappears.
-
-    Args:
-      codes: (P * rows_per_group, M/2) uint8 — partition-major rows (the
-        IVFIndex codes reshaped).
-      group_part: (GCAP,) int32 — partition scanned by each group.
-      tables_lo/hi: (GCAP * (M/2)*16, G) int8 group-major table slabs.
-      rows_per_group: padded partition size (static; block_n must divide it).
-
-    Returns:
-      vals (GCAP*rows_per_group/W, G) int32 window minima (same window
-      geometry as lut_scan_grouped / window_rows).
-    """
-    total_rows, cb = codes.shape
-    lanes = cb * 16
-    total_t, gq = tables_lo.shape
-    gcap = total_t // lanes
-    assert group_part.shape == (gcap,), (group_part.shape, gcap)
-    if rows_per_group % block_n != 0:
-        raise ValueError(f"block_n {block_n} must divide rows_per_group {rows_per_group}")
-    if block_n % window != 0:
-        raise ValueError(f"block_n {block_n} not a multiple of window {window}")
-    nblocks = rows_per_group // block_n
-    g = block_n // window
-    e, jpat = _expand_consts(cb)
-
-    def kernel(gp_ref, *rest):  # scalar-prefetch ref arrives first; unused in body
-        _grouped_scan_kernel(*rest, window=window, acc_dtype=jnp.int32)
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(gcap * nblocks,),
-        in_specs=[
-            pl.BlockSpec(
-                (block_n, cb),
-                lambda i, gp: (gp[i // nblocks] * nblocks + i % nblocks, 0),
-            ),
-            pl.BlockSpec((lanes, gq), lambda i, gp: (i // nblocks, 0)),
-            pl.BlockSpec((lanes, gq), lambda i, gp: (i // nblocks, 0)),
-            pl.BlockSpec((8, lanes), lambda i, gp: (0, 0)),
-            pl.BlockSpec((cb, lanes), lambda i, gp: (0, 0)),
-        ],
-        out_specs=pl.BlockSpec((g, gq), lambda i, gp: (i, 0)),
-    )
-    vals = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((gcap * rows_per_group // window, gq), jnp.int32),
-        interpret=interpret,
-        cost_estimate=pl.CostEstimate(
-            flops=2 * 2 * gcap * rows_per_group * lanes * gq,
-            bytes_accessed=gcap * rows_per_group * cb + 2 * gcap * lanes * gq,
-            transcendentals=0,
-        ),
-    )(group_part, codes, tables_lo, tables_hi, jpat, e)
-    return vals
-
-
-def window_rows(window_ids, block_n: int, window: int):
-    """Expand window ids to the local rows they cover.
-
-    Args:
-      window_ids: (..., K) int32 window indices (within one group's row space).
-      block_n, window: the lut_scan_grouped geometry.
-
-    Returns:
-      (..., K, window) int32 local rows.
-    """
-    gr = block_n // window
-    b = window_ids // gr
-    s = window_ids % gr
-    w = jnp.arange(window, dtype=jnp.int32)
-    return b[..., None] * block_n + w * gr + s[..., None]
-
-
-@functools.partial(
-    jax.jit, static_argnames=("r", "num_valid", "block_n", "window", "interpret")
+    jax.jit, static_argnames=("r", "num_valid", "cb", "block_n", "window", "interpret")
 )
 def lut_scan_topk_int8(
-    codes,
+    codes_rows,
     qtables,
     r: int,
     num_valid: int,
+    cb: int = 8,
     block_n: int = DEFAULT_BLOCK_N,
     window: int = DEFAULT_WINDOW,
     interpret: bool = False,
 ):
-    """Full Quick-ADC scan: Pallas kernel + exact top-r over window candidates.
+    """Full Quick-ADC scan: Pallas kernel + screened top-r over window candidates.
 
     Args:
-      codes: (N_pad, M/2) uint8.
+      codes_rows: (N_pad/cpr, 128) uint8 row128 storage.
       qtables: (Q, M, 16) int8.
       r: results per query.
-      num_valid: real row count (padded rows masked).
+      num_valid: real code count (padded rows masked).
 
     Returns:
       (vals (Q, r) float32 quantized distances, +inf for masked/absent slots;
@@ -533,7 +484,8 @@ def lut_scan_topk_int8(
     q = qtables.shape[0]
     tlo, thi = build_scan_tables(qtables)
     vals, rows = lut_scan_reduce(
-        codes, tlo, thi, block_n=block_n, window=window, interpret=interpret
+        codes_rows, tlo, thi, cb=cb, block_n=block_n, window=window,
+        interpret=interpret,
     )
     # Mask candidates from padded rows (window minima can come from padding).
     from qadc_tpu.ops.topk import screen_smallest

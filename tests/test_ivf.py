@@ -107,7 +107,9 @@ def test_ivf_incremental_add_matches_bulk(rng):
     )
     s1, s2 = np.asarray(index1.part_sizes), np.asarray(i2.part_sizes)
     l1, l2 = np.asarray(index1.labels), np.asarray(i2.labels)
-    c1, c2 = np.asarray(index1.codes), np.asarray(i2.codes)
+    cb = index1.pq.code_size
+    c1 = np.asarray(index1.codes).reshape(index1.part_count, -1, cb)
+    c2 = np.asarray(i2.codes).reshape(i2.part_count, -1, cb)
     for pi in range(index1.part_count):
         np.testing.assert_array_equal(l1[pi, : s1[pi]], l2[pi, : s2[pi]])
         np.testing.assert_array_equal(c1[pi, : s1[pi]], c2[pi, : s2[pi]])

@@ -5,8 +5,15 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+from qadc_tpu.core.layout import to_row128
 from qadc_tpu.core.packing import pack_codes
-from qadc_tpu.kernels.lut_scan import build_scan_tables, lut_scan_reduce, lut_scan_topk_int8
+from qadc_tpu.kernels.lut_scan import (
+    build_scan_tables,
+    lut_scan_reduce,
+    lut_scan_topk_int8,
+    slots_to_rows,
+    window_slots,
+)
 from qadc_tpu.kernels.scan_ref import adc_scan_int8
 
 
@@ -17,15 +24,28 @@ def _setup(rng, n=4096, m=16, q=5):
     return packed, qt
 
 
-def _strided_window_min(full, blk, window):
-    """Simulate the kernel's strided windows: full (Q, N) -> (N/W, Q).
+def _sim_window_min(full, blk, window, cb):
+    """Simulate the kernel's reduction: full (Q, N) -> (N/W, Q) window minima.
 
-    Within each block of blk rows, window g = rows {g, g+G, ...}, G=blk/W.
+    Window wi covers SLOTS {(wi//gr)*blk + w*gr + wi%gr}; slots map to rows
+    via the deinterleave permutation (slots_to_rows).
     """
     q, n = full.shape
-    g = blk // window
-    shaped = full.T.reshape(n // blk, window, g, q)
-    return shaped.min(axis=1).reshape(n // window, q)
+    c_total = n // window
+    wins = np.asarray(
+        window_slots(jnp.arange(c_total, dtype=jnp.int32), blk, window)
+    )  # (C, W) slots
+    rows = np.asarray(slots_to_rows(jnp.asarray(wins), blk, cb))
+    return full[:, rows].min(axis=2).T  # (C, Q)
+
+
+def test_slot_row_mapping_is_permutation():
+    blk, cb = 1024, 8
+    slots = jnp.arange(4 * blk, dtype=jnp.int32)
+    rows = np.asarray(slots_to_rows(slots, blk, cb))
+    assert sorted(rows.tolist()) == list(range(4 * blk))
+    # block-local: slots of block 1 map into block 1's rows
+    assert set(rows[blk : 2 * blk]) == set(range(blk, 2 * blk))
 
 
 def test_build_scan_tables_layout(rng):
@@ -46,14 +66,15 @@ def test_kernel_matches_reference_scan(rng):
     full = np.asarray(adc_scan_int8(packed, jnp.asarray(qt), saturate=False))  # (Q, N)
 
     tlo, thi = build_scan_tables(jnp.asarray(qt))
+    rows128 = jnp.asarray(to_row128(packed))
     vals, rows = lut_scan_reduce(
-        jnp.asarray(packed), tlo, thi, block_n=1024, window=16, interpret=True
+        rows128, tlo, thi, cb=8, block_n=1024, window=16, interpret=True
     )
     vals, rows = np.asarray(vals), np.asarray(rows)
     assert vals.shape == (4096 // 16, 128)
-    want = _strided_window_min(full, 1024, 16)
+    want = _sim_window_min(full, 1024, 16, 8)
     np.testing.assert_array_equal(vals[:, :q], want)
-    # argmin rows point at codes achieving the min
+    # returned rows point at codes achieving the min
     for g in range(0, 256, 37):
         for qi in range(q):
             assert full[qi, rows[g, qi]] == vals[g, qi]
@@ -66,9 +87,10 @@ def test_kernel_topk_matches_exact(rng):
     full_all = np.asarray(adc_scan_int8(packed, jnp.asarray(qt), saturate=False))
     full = full_all[:, :n_valid]
     r = 50
+    rows128 = jnp.asarray(to_row128(packed))
     vals, rows = lut_scan_topk_int8(
-        jnp.asarray(packed), jnp.asarray(qt), r, n_valid,
-        block_n=1024, window=16, interpret=True,
+        rows128, jnp.asarray(qt), r, n_valid,
+        cb=8, block_n=1024, window=16, interpret=True,
     )
     vals, rows = np.asarray(vals), np.asarray(rows)
     assert rows.max() < n_valid
@@ -78,7 +100,7 @@ def test_kernel_topk_matches_exact(rng):
     # Exact parity with a numpy simulation of the reduction + masking.
     masked = full_all.astype(np.int64).copy()
     masked[:, n_valid:] = np.iinfo(np.int32).max
-    sim = _strided_window_min(masked, 1024, 16)  # (N/W, Q)
+    sim = _sim_window_min(masked, 1024, 16, 8)  # (N/W, Q)
     for qi in range(q):
         np.testing.assert_array_equal(np.sort(vals[qi]), np.sort(sim[:, qi])[:r])
     # Membership vs the exact top-r: window collisions lose only a few members
@@ -99,10 +121,11 @@ def test_kernel_sq_counts(rng, m):
     packed, qt = _setup(rng, n=2048, m=m, q=3)
     full = np.asarray(adc_scan_int8(packed, jnp.asarray(qt), saturate=False))
     tlo, thi = build_scan_tables(jnp.asarray(qt))
+    rows128 = jnp.asarray(to_row128(packed))
     vals, rows = lut_scan_reduce(
-        jnp.asarray(packed), tlo, thi, block_n=512, window=8, interpret=True
+        rows128, tlo, thi, cb=m // 2, block_n=512, window=8, interpret=True
     )
-    want = _strided_window_min(full, 512, 8)
+    want = _sim_window_min(full, 512, 8, m // 2)
     np.testing.assert_array_equal(np.asarray(vals)[:, :3], want[:, :3])
 
 
@@ -114,9 +137,10 @@ def test_kernel_float_tables(rng):
 
     full = np.asarray(adc_scan_f32(packed, jnp.asarray(tables), 4))
     tlo, thi = build_scan_tables(jnp.asarray(tables))
+    rows128 = jnp.asarray(to_row128(packed))
     vals, rows = lut_scan_reduce(
-        jnp.asarray(packed), tlo.astype(jnp.float32), thi.astype(jnp.float32),
-        block_n=512, window=8, interpret=True, acc_dtype_name="float32",
+        rows128, tlo.astype(jnp.float32), thi.astype(jnp.float32),
+        cb=8, block_n=512, window=8, interpret=True, acc_dtype_name="float32",
     )
-    want = _strided_window_min(full, 512, 8)
+    want = _sim_window_min(full, 512, 8, 8)
     np.testing.assert_allclose(np.asarray(vals)[:, :3], want[:, :3], rtol=1e-5, atol=1e-4)

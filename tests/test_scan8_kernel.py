@@ -3,7 +3,13 @@
 import numpy as np
 import jax.numpy as jnp
 
-from qadc_tpu.kernels.lut_scan import build_scan8_tables, lut_scan8_reduce
+from qadc_tpu.core.layout import to_row128
+from qadc_tpu.kernels.lut_scan import (
+    build_scan8_tables,
+    lut_scan8_reduce,
+    slots_to_rows,
+    window_slots,
+)
 from qadc_tpu.kernels.scan_ref import adc_scan_f32
 
 
@@ -14,12 +20,19 @@ def test_scan8_matches_reference(rng):
     full = np.asarray(adc_scan_f32(codes, jnp.asarray(tables), 8))  # (Q, N)
 
     t8 = build_scan8_tables(jnp.asarray(tables))
-    vals, rows = lut_scan8_reduce(jnp.asarray(codes), t8, block_n=256, window=16, interpret=True)
+    rows128 = jnp.asarray(to_row128(codes))
+    vals, rows = lut_scan8_reduce(
+        rows128, t8, m=m, block_n=256, window=16, interpret=True
+    )
     vals, rows = np.asarray(vals), np.asarray(rows)
+    # Simulate strided-slot windows with the deinterleave permutation.
+    c_total = n // 16
+    wins = np.asarray(window_slots(jnp.arange(c_total, dtype=jnp.int32), 256, 16))
+    rmap = np.asarray(slots_to_rows(jnp.asarray(wins), 256, m))
+    want = full[:, rmap].min(axis=2).T  # (C, Q)
     # bf16 tables: tolerance ~0.4% relative
-    want = full.T.reshape(n // 256, 16, 256 // 16, q).min(axis=1).reshape(n // 16, q)
     np.testing.assert_allclose(vals[:, :q], want, rtol=6e-3, atol=0.05)
     # rows point at codes achieving (approximately) the window min
-    for g in range(0, n // 16, 7):
+    for g in range(0, c_total, 7):
         for qi in range(q):
             assert abs(full[qi, rows[g, qi]] - vals[g, qi]) < full[qi].max() * 6e-3 + 0.05
