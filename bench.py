@@ -34,7 +34,9 @@ def main():
 
     rng = np.random.default_rng(0)
     n, m, q = 1_048_576, 16, 128
-    codes = jnp.asarray(rng.integers(0, 256, size=(n, m // 2), dtype=np.uint8))
+    codes = jnp.asarray(
+        rng.integers(0, 256, size=(n // 16, 128), dtype=np.uint8)
+    )  # ROW128 storage (16 codes/row)
     qtables = jnp.asarray(
         rng.integers(0, 127, size=(q, m, 16)).astype(np.int8)
     )
@@ -48,7 +50,7 @@ def main():
         # them as HLO constants (slow remote compiles at scale).
         for _ in range(k_inner):
             d = (prev[0:1, 0:1] & 1).astype(jnp.int8)
-            vals, rows = lut_scan_reduce(codes, tlo + d, thi)
+            vals, rows = lut_scan_reduce(codes, tlo + d, thi, cb=8)
             prev = vals
         return prev
 
@@ -112,7 +114,7 @@ def _bench_ivf_e2e(rng):
         pq=pq,
         coarse_centroids=jnp.asarray(rng.normal(size=(parts, dim)).astype(np.float32)),
         codes=jnp.asarray(
-            rng.integers(0, 256, size=(parts, part_pad, 8), dtype=np.uint8)
+            rng.integers(0, 256, size=(parts, part_pad // 16, 128), dtype=np.uint8)
         ),
         labels=jnp.asarray(
             np.arange(parts * part_pad, dtype=np.int32).reshape(parts, part_pad)

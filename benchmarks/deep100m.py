@@ -46,8 +46,8 @@ def main():
     )
     # Device-side index construction (no host transfer of the 800 MB).
     codes = jax.random.randint(
-        k2, (parts, part_pad, m // 2), 0, 256, dtype=jnp.uint8
-    )
+        k2, (parts, part_pad * (m // 2) // 128, 128), 0, 256, dtype=jnp.uint8
+    )  # ROW128 storage
     labels = (
         jnp.arange(parts, dtype=jnp.int32)[:, None] * part_pad
         + jnp.arange(part_pad, dtype=jnp.int32)[None, :]

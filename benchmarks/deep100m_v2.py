@@ -25,7 +25,9 @@ def main():
     part_pad = -(-part_real // 512) * 512
     k1, k2, k3, k4 = jax.random.split(jax.random.PRNGKey(0), 4)
     pq = ProductQuantizer(centroids=jax.random.normal(k1, (m, 16, dim // m), jnp.float32), sq_bits=4)
-    codes = jax.random.randint(k2, (parts, part_pad, m // 2), 0, 256, dtype=jnp.uint8)
+    codes = jax.random.randint(
+        k2, (parts, part_pad * (m // 2) // 128, 128), 0, 256, dtype=jnp.uint8
+    )  # ROW128 storage
     labels = (jnp.arange(parts, dtype=jnp.int32)[:, None] * part_pad
               + jnp.arange(part_pad, dtype=jnp.int32)[None, :])
     index = IVFIndex(pq=pq, coarse_centroids=jax.random.normal(k3, (parts, dim), jnp.float32),

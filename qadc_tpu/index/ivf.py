@@ -351,11 +351,12 @@ def _quantized_tables(index, queries, r, ma, keep, prefix_pad):
 @partial(
     jax.jit,
     static_argnames=("r", "ma", "keep", "prefix_pad", "rerank", "group_size",
-                     "window", "interpret"),
+                     "window", "interpret", "block_n"),
 )
 def _search_qadc_grouped_impl(
     index: IVFIndex, queries, r: int, ma: int, keep: float, prefix_pad: int,
     rerank: bool, group_size: int, window: int, interpret: bool,
+    block_n: int = 2048,
 ):
     """Partition-grouped Quick-ADC IVF search (Pallas kernel path).
 
@@ -377,7 +378,7 @@ def _search_qadc_grouped_impl(
     qa = q * ma
     part_pad = index.part_pad
     lanes = (m // 2) * 16
-    block_n = 512
+    block_n = min(block_n, part_pad)
 
     routed = route_queries(parts, index.part_count, group_size)
     gcap, g = routed.gcap, routed.group_size
@@ -485,14 +486,20 @@ def window_rerank(
     idx = unpack_codes(cand_codes, m, 4)                          # (A*W, M)
     idx2 = idx.reshape(a, window * m)                             # (A, W*M)
 
-    # Per-window-slot tables in J-MAJOR lane order: tw2[:, j*m + mi].
-    tj = tables_qa.reshape(qa, m, 16).transpose(0, 2, 1).reshape(qa, 16 * m)
-    tw2 = tj[sel_pair.reshape(a)]                                 # (A, 16*M)
+    # Pre-TILED per-pair tables: one tile on (qa, 16*W*M) + one row gather,
+    # so the select-accumulate loop below is pure slices (16 per-j tiles of
+    # (A, W*M) cost ~10 ms/batch in broadcast/copy ops at SIFT1M geometry).
+    tj = tables_qa.reshape(qa, m, 16).transpose(0, 2, 1)          # (qa, 16, M)
+    tj_tiled = jnp.tile(tj[:, :, None, :], (1, 1, window, 1)).reshape(
+        qa, 16 * window * m
+    )
+    tw2 = tj_tiled[sel_pair.reshape(a)]                           # (A, 16*W*M)
     # Select-accumulate over the 16 centroid ids; lanes stay W*M-wide.
     cvf2 = jnp.zeros((a, window * m), jnp.float32)
     for j in range(16):
-        tw_j = jnp.tile(tw2[:, j * m : (j + 1) * m], (1, window))  # (A, W*M)
-        cvf2 = cvf2 + jnp.where(idx2 == j, tw_j, 0.0)
+        cvf2 = cvf2 + jnp.where(
+            idx2 == j, tw2[:, j * window * m : (j + 1) * window * m], 0.0
+        )
     # Sum each candidate's M entries: (A, W*M) -> (A*W, M) -> (A*W,).
     cvf = jnp.sum(cvf2.reshape(a * window, m), axis=1)
     alive = row_valid.reshape(a * window) & jnp.repeat(

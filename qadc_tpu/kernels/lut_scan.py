@@ -45,10 +45,16 @@ DEFAULT_WINDOW = 16
 
 
 def _deinterleave(raw, cb: int):
-    """(R, 128) u8 storage rows -> (cpr*R, cb) int32 codes in c-major slot order."""
+    """(R, 128) u8 storage rows -> (cpr*R, cb) int32 codes in c-major slot order.
+
+    Each in-row code's bytes are rolled to lane 0 before the sublane concat —
+    Mosaic cannot concatenate pieces living at different lane offsets.
+    """
     cpr = 128 // cb
     r32 = raw.astype(jnp.int32)
-    pieces = [r32[:, c * cb : (c + 1) * cb] for c in range(cpr)]
+    pieces = [r32[:, 0:cb]]
+    for c in range(1, cpr):
+        pieces.append(pltpu.roll(r32, 128 - c * cb, axis=1)[:, 0:cb])
     return jnp.concatenate(pieces, axis=0)
 
 
@@ -99,32 +105,60 @@ def build_scan_tables(qtables, q_pad: int | None = None):
 @functools.lru_cache(maxsize=None)
 def _expand_consts_np(cb: int):
     """Cached NUMPY (E, jpat) — numpy so values cached here never leak tracers."""
+    cpr = 128 // cb
     lanes = 16 * cb
-    e = np.zeros((cb, lanes), np.float32)
-    for b in range(cb):
-        e[b, np.arange(16) * cb + b] = 1.0
+    # E_c (stacked): E[c*128 + c*cb + b, j*cb + b] = 1 — selects code c's byte
+    # b from a 128-byte row and broadcasts it into the 16 j-lanes.
+    e = np.zeros((cpr, 128, lanes), np.float32)
+    for c in range(cpr):
+        for b in range(cb):
+            e[c, c * cb + b, np.arange(16) * cb + b] = 1.0
     jpat = np.broadcast_to((np.arange(lanes) // cb).astype(np.float32), (8, lanes))
-    return e, np.ascontiguousarray(jpat)
+    return e.reshape(cpr * 128, lanes), np.ascontiguousarray(jpat)
 
 
 def _expand_consts(cb: int):
-    """(E, jpat) constants for the lane expansion.
+    """(E stack, jpat) constants for the fused deinterleave+expansion.
 
-    E: (cb, 16*cb) bf16 placement matrix, E[b, j*cb+b] = 1 for all j, so
-    (nibbles @ E)[n, j*cb+b] = nib[n, b].
+    E: (cpr*128, 16*cb) bf16 selector stack (see _accumulate_rows).
     jpat: (8, 16*cb) f32, lane l -> centroid id l // cb.
     """
     e, jpat = _expand_consts_np(cb)
     return jnp.asarray(e, jnp.bfloat16), jnp.asarray(jpat)
 
 
-def _accumulate(codes_c, tlo, thi, jpat_ref, e_ref, acc_dtype):
-    """Distances for deinterleaved int32 codes (BLK, cb) against table slabs."""
-    lo = (codes_c & 0x0F).astype(jnp.bfloat16)
-    hi = (codes_c >> 4).astype(jnp.bfloat16)
-    e = e_ref[...]
-    rep_lo = jnp.dot(lo, e, preferred_element_type=jnp.float32)
-    rep_hi = jnp.dot(hi, e, preferred_element_type=jnp.float32)
+def _accumulate_rows(raw, cb, tlo, thi, jpat_ref, e_ref, acc_dtype):
+    """Distances straight from (R, 128) storage rows against table slabs.
+
+    The deinterleave and lane expansion fuse into ONE step: per in-row code
+    position c, a selector matmul E_c picks that code's nibble lanes and
+    broadcasts them into the 16 j-lanes; pieces concatenate along sublanes
+    (all at lane offset 0 — Mosaic rejects offset concats) giving the one-hot
+    pre-image in c-major slot order. All intermediates are full-lane; no
+    rolls, no narrow (BLK, cb) tensors.
+    """
+    cpr = 128 // cb
+    lanes = cb * 16
+    r32 = raw.astype(jnp.int32)
+    lo_raw = (r32 & 0x0F).astype(jnp.bfloat16)   # (R, 128)
+    hi_raw = (r32 >> 4).astype(jnp.bfloat16)
+    e = e_ref[...]                                # (cpr*128, lanes)
+    rep_lo = jnp.concatenate(
+        [
+            jnp.dot(lo_raw, e[c * 128 : (c + 1) * 128, :],
+                    preferred_element_type=jnp.float32)
+            for c in range(cpr)
+        ],
+        axis=0,
+    )                                             # (BLK, lanes) slot order
+    rep_hi = jnp.concatenate(
+        [
+            jnp.dot(hi_raw, e[c * 128 : (c + 1) * 128, :],
+                    preferred_element_type=jnp.float32)
+            for c in range(cpr)
+        ],
+        axis=0,
+    )
     jp = jpat_ref[0:1, :]
     oh_dtype = jnp.int8 if acc_dtype == jnp.int32 else jnp.float32
     oh_lo = (rep_lo == jp).astype(oh_dtype)
@@ -148,11 +182,12 @@ def _scan_kernel(
     *, window, acc_dtype, cb,
 ):
     """Flat scan block: window minima + arg-slot ids."""
-    codes_c = _deinterleave(codes_ref[...], cb)          # (BLK, cb) slot order
-    blk = codes_c.shape[0]
+    acc = _accumulate_rows(
+        codes_ref[...], cb, tlo_ref[...], thi_ref[...], jpat_ref, e_ref, acc_dtype
+    )
+    blk = acc.shape[0]
     g = blk // window
     qp = tlo_ref.shape[1]
-    acc = _accumulate(codes_c, tlo_ref[...], thi_ref[...], jpat_ref, e_ref, acc_dtype)
 
     m = acc[0:g, :]
     arg = jnp.zeros((g, qp), jnp.int32)
@@ -219,7 +254,7 @@ def lut_scan_reduce(
             pl.BlockSpec((lanes, qp), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((lanes, qp), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((8, lanes), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((cb, lanes), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((cpr * 128, lanes), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((g, qp), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -248,8 +283,9 @@ def _grouped_scan_kernel(
     windows (see window_rerank), which removes arg bookkeeping and makes
     quantization ties harmless.
     """
-    codes_c = _deinterleave(codes_ref[...], cb)
-    acc = _accumulate(codes_c, tlo_ref[...], thi_ref[...], jpat_ref, e_ref, acc_dtype)
+    acc = _accumulate_rows(
+        codes_ref[...], cb, tlo_ref[...], thi_ref[...], jpat_ref, e_ref, acc_dtype
+    )
     vals_ref[...] = _window_min(acc, window)
 
 
@@ -316,7 +352,7 @@ def lut_scan_grouped_prefetch(
             pl.BlockSpec((lanes, gq), lambda i, gp: (i // nblocks, 0)),
             pl.BlockSpec((lanes, gq), lambda i, gp: (i // nblocks, 0)),
             pl.BlockSpec((8, lanes), lambda i, gp: (0, 0)),
-            pl.BlockSpec((cb, lanes), lambda i, gp: (0, 0)),
+            pl.BlockSpec((cpr * 128, lanes), lambda i, gp: (0, 0)),
         ],
         out_specs=pl.BlockSpec((g, gq), lambda i, gp: (i, 0)),
     )
