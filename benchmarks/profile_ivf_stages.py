@@ -1,0 +1,192 @@
+"""Stage-by-stage profile of the grouped Quick-ADC IVF search (real TPU).
+
+Times CUMULATIVE PREFIXES of the pipeline (front, +route, +slabs, +kernel,
++window-select, +rerank = full) with chained-in-jit iterations and a single
+scalar readback (the axon relay acks without completing — see bench.py), then
+differences them into per-stage costs.
+
+Run: python benchmarks/profile_ivf_stages.py [--ma 24] [--q 128]
+"""
+
+import argparse
+import time
+
+import numpy as np
+
+
+def build_index(rng, dim=128, parts=256, part_pad=4096, m=16, real=3906):
+    import jax.numpy as jnp
+    from qadc_tpu.index.ivf import IVFIndex
+    from qadc_tpu.quantizers.pq import ProductQuantizer
+
+    pq = ProductQuantizer(
+        centroids=jnp.asarray(rng.normal(size=(m, 16, dim // m)).astype(np.float32)),
+        sq_bits=4,
+    )
+    return IVFIndex(
+        pq=pq,
+        coarse_centroids=jnp.asarray(rng.normal(size=(parts, dim)).astype(np.float32)),
+        codes=jnp.asarray(
+            rng.integers(0, 256, size=(parts, part_pad // 16, 128), dtype=np.uint8)
+        ),
+        labels=jnp.asarray(
+            np.arange(parts * part_pad, dtype=np.int32).reshape(parts, part_pad)
+        ),
+        part_sizes=jnp.asarray(np.full((parts,), real, np.int32)),
+        n=parts * real,
+        max_part_size=real,
+    )
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ma", type=int, default=24)
+    ap.add_argument("--q", type=int, default=128)
+    ap.add_argument("--r", type=int, default=100)
+    ap.add_argument("--keep", type=float, default=0.005)
+    ap.add_argument("--group-size", type=int, default=64)
+    ap.add_argument("--window", type=int, default=16)
+    ap.add_argument("--block-n", type=int, default=2048)
+    ap.add_argument("--k-inner", type=int, default=8)
+    ap.add_argument("--iters", type=int, default=3)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from qadc_tpu.index import ivf as ivf_mod
+    from qadc_tpu.index.ivf import _quantized_tables, window_rerank
+    from qadc_tpu.index.routing import route_queries
+    from qadc_tpu.kernels.lut_scan import (
+        build_scan_tables,
+        lut_scan_grouped_prefetch,
+        slots_to_rows,
+        window_slots,
+    )
+    from qadc_tpu.ops.topk import screen_smallest
+    import math
+
+    rng = np.random.default_rng(0)
+    index = build_index(rng)
+    q, r, ma, keep = args.q, args.r, args.ma, args.keep
+    queries = jnp.asarray(rng.normal(size=(q, index.pq.dim)).astype(np.float32))
+    m = index.pq.sq_count
+    part_pad = index.part_pad
+    prefix_pad = max(1, int(index.max_part_size * keep))
+    window = args.window
+    group_size = args.group_size
+    block_n = math.gcd(args.block_n, part_pad)
+    lanes = (m // 2) * 16
+    qa = q * ma
+
+    # ---- pipeline stages as composable pieces; stage k returns a scalar tap.
+    def front(idx, qs):
+        parts, tables, qtables = _quantized_tables(idx, qs, r, ma, keep, prefix_pad)
+        return (parts, tables, qtables), qtables.astype(jnp.float32).sum()
+
+    def route(idx, st):
+        parts, tables, qtables = st
+        routed = route_queries(parts, idx.part_count, group_size)
+        return (parts, tables, qtables, routed), routed.group_part.sum().astype(jnp.float32)
+
+    def slabs(idx, st):
+        parts, tables, qtables, routed = st
+        gcap, g = routed.gcap, routed.group_size
+        tlo_pairs, thi_pairs = build_scan_tables(qtables.reshape(qa, m, 16), q_pad=qa)
+        tlo_pairs, thi_pairs = tlo_pairs.T, thi_pairs.T
+        qa_g = routed.qa_group.reshape(qa)
+        qa_s = routed.qa_slot.reshape(qa)
+        slot_to_pair = jnp.zeros((gcap * g,), jnp.int32).at[qa_g * g + qa_s].set(
+            jnp.arange(qa, dtype=jnp.int32)
+        )
+        glo = (
+            tlo_pairs[slot_to_pair].reshape(gcap, g, lanes)
+            .transpose(0, 2, 1).reshape(gcap * lanes, g)
+        )
+        ghi = (
+            thi_pairs[slot_to_pair].reshape(gcap, g, lanes)
+            .transpose(0, 2, 1).reshape(gcap * lanes, g)
+        )
+        return (parts, tables, qtables, routed, glo, ghi), glo.astype(jnp.float32).sum()
+
+    def kern(idx, st):
+        parts, tables, qtables, routed, glo, ghi = st
+        vals = lut_scan_grouped_prefetch(
+            idx.codes.reshape(-1, 128), routed.group_part, glo, ghi,
+            rows_per_group=part_pad, cb=m // 2, block_n=block_n, window=window,
+        )
+        return (parts, tables, qtables, routed, vals), vals.astype(jnp.float32)[0, 0]
+
+    def winsel(idx, st):
+        parts, tables, qtables, routed, vals = st
+        gcap, g = routed.gcap, routed.group_size
+        qa_g = routed.qa_group.reshape(qa)
+        qa_s = routed.qa_slot.reshape(qa)
+        c = part_pad // window
+        vals_rows = vals.reshape(gcap, c, g).transpose(0, 2, 1).reshape(gcap * g, c)
+        cv = vals_rows[qa_g * g + qa_s].astype(jnp.float32)
+        p_of_pair = parts.reshape(qa)
+        sz = idx.part_sizes[p_of_pair]
+        win_ids = jnp.arange(c, dtype=jnp.int32)
+        all_slots = window_slots(win_ids, block_n, window)
+        all_rows = slots_to_rows(all_slots, block_n, m // 2)
+        win_has_valid = jnp.min(all_rows, axis=1)[None, :] < sz[:, None]
+        cv = jnp.where(win_has_valid, cv, jnp.inf)
+        wq = min(2 * r, ma * c)
+        cv_q = cv.reshape(q, ma * c)
+        screen_v, selq = screen_smallest(cv_q, wq)
+        sel_ai = selq // c
+        sel_wi = selq % c
+        sel_pair = jnp.arange(q, dtype=jnp.int32)[:, None] * ma + sel_ai
+        sel_part = jnp.take_along_axis(parts, sel_ai, axis=1)
+        sel_sz = jnp.take_along_axis(sz.reshape(q, ma), sel_ai, axis=1)
+        return (tables, screen_v, sel_part, sel_pair, sel_wi, sel_sz), screen_v.sum()
+
+    def rerank(idx, st):
+        tables, screen_v, sel_part, sel_pair, sel_wi, sel_sz = st
+        d, l = window_rerank(
+            idx.codes.reshape(-1, 128), idx.labels.reshape(-1), part_pad,
+            tables, screen_v, sel_part, sel_pair, sel_wi, sel_sz,
+            r, block_n, window,
+        )
+        return None, jnp.where(jnp.isfinite(d), d, 0.0).sum()
+
+    stages = [front, route, slabs, kern, winsel, rerank]
+    names = ["front", "route", "slabs", "kernel", "winsel", "rerank"]
+
+    def make_prefix_fn(k):
+        @jax.jit
+        def run(idx, qs):
+            tap = jnp.float32(0)
+            for _ in range(args.k_inner):
+                st, t = front(idx, qs + tap * 1e-12)
+                tap = t
+                for s in stages[1:k]:
+                    st, t = s(idx, st)
+                    tap = t
+            return tap
+        return run
+
+    results = {}
+    for k in range(1, len(stages) + 1):
+        fn = make_prefix_fn(k)
+        out = fn(index, queries)
+        _ = float(out)  # warmup + fence
+        t0 = time.time()
+        for _ in range(args.iters):
+            out = fn(index, queries)
+        _ = float(out)
+        dt = (time.time() - t0) / (args.iters * args.k_inner)
+        results[names[k - 1]] = dt
+        print(f"prefix through {names[k-1]:8s}: {dt*1e3:8.3f} ms/batch "
+              f"({dt*1e6/q:7.2f} us/query)")
+
+    prev = 0.0
+    print("\nper-stage deltas:")
+    for n in names:
+        d = results[n] - prev
+        print(f"  {n:8s}: {d*1e3:8.3f} ms/batch ({d*1e6/q:7.2f} us/query)")
+        prev = results[n]
+
+
+if __name__ == "__main__":
+    main()

