@@ -80,16 +80,16 @@ def main():
 
     # ---- pipeline stages as composable pieces; stage k returns a scalar tap.
     def front(idx, qs):
-        parts, tables, qtables = _quantized_tables(idx, qs, r, ma, keep, prefix_pad)
-        return (parts, tables, qtables), qtables.astype(jnp.float32).sum()
+        parts, tables, qtables, tiles = _quantized_tables(idx, qs, r, ma, keep, prefix_pad)
+        return (parts, tables, qtables, tiles), qtables.astype(jnp.float32).sum()
 
     def route(idx, st):
-        parts, tables, qtables = st
+        parts, tables, qtables, tiles = st
         routed = route_queries(parts, idx.part_count, group_size)
-        return (parts, tables, qtables, routed), routed.group_part.sum().astype(jnp.float32)
+        return (parts, tables, qtables, tiles, routed), routed.group_part.sum().astype(jnp.float32)
 
     def slabs(idx, st):
-        parts, tables, qtables, routed = st
+        parts, tables, qtables, tiles, routed = st
         gcap, g = routed.gcap, routed.group_size
         tlo_pairs, thi_pairs = build_scan_tables(qtables.reshape(qa, m, 16), q_pad=qa)
         tlo_pairs, thi_pairs = tlo_pairs.T, thi_pairs.T
@@ -106,18 +106,18 @@ def main():
             thi_pairs[slot_to_pair].reshape(gcap, g, lanes)
             .transpose(0, 2, 1).reshape(gcap * lanes, g)
         )
-        return (parts, tables, qtables, routed, glo, ghi), glo.astype(jnp.float32).sum()
+        return (parts, tables, qtables, tiles, routed, glo, ghi), glo.astype(jnp.float32).sum()
 
     def kern(idx, st):
-        parts, tables, qtables, routed, glo, ghi = st
+        parts, tables, qtables, tiles, routed, glo, ghi = st
         vals = lut_scan_grouped_prefetch(
             idx.codes.reshape(-1, 128), routed.group_part, glo, ghi,
             rows_per_group=part_pad, cb=m // 2, block_n=block_n, window=window,
         )
-        return (parts, tables, qtables, routed, vals), vals.astype(jnp.float32)[0, 0]
+        return (parts, tables, qtables, tiles, routed, vals), vals.astype(jnp.float32)[0, 0]
 
     def winsel(idx, st):
-        parts, tables, qtables, routed, vals = st
+        parts, tables, qtables, tiles, routed, vals = st
         gcap, g = routed.gcap, routed.group_size
         qa_g = routed.qa_group.reshape(qa)
         qa_s = routed.qa_slot.reshape(qa)
@@ -139,14 +139,14 @@ def main():
         sel_pair = jnp.arange(q, dtype=jnp.int32)[:, None] * ma + sel_ai
         sel_part = jnp.take_along_axis(parts, sel_ai, axis=1)
         sel_sz = jnp.take_along_axis(sz.reshape(q, ma), sel_ai, axis=1)
-        return (tables, screen_v, sel_part, sel_pair, sel_wi, sel_sz), screen_v.sum()
+        return (tables, tiles, screen_v, sel_part, sel_pair, sel_wi, sel_sz), screen_v.sum()
 
     def rerank(idx, st):
-        tables, screen_v, sel_part, sel_pair, sel_wi, sel_sz = st
+        tables, tiles, screen_v, sel_part, sel_pair, sel_wi, sel_sz = st
         d, l = window_rerank(
             idx.codes.reshape(-1, 128), idx.labels.reshape(-1), part_pad,
             tables, screen_v, sel_part, sel_pair, sel_wi, sel_sz,
-            r, block_n, window,
+            r, block_n, window, tiles=tiles,
         )
         return None, jnp.where(jnp.isfinite(d), d, 0.0).sum()
 

@@ -24,9 +24,13 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from qadc_tpu.core.packing import unpack_codes
 from qadc_tpu.dist.mesh import SHARD_AXIS, make_mesh
-from qadc_tpu.index.ivf import IVFIndex, assign_queries
+from qadc_tpu.index.ivf import (
+    IVFIndex,
+    assign_queries,
+    rows_adc,
+    tile_tables_rows,
+)
 from qadc_tpu.index.routing import route_queries
 from qadc_tpu.kernels.lut_scan import (
     build_scan_tables,
@@ -117,32 +121,36 @@ def _search_impl(
         sizes_pair = jnp.where(owned, sizes_l[parts_safe], 0)  # (Q, ma)
 
         # ---- keep-prefix distances for OWNED pairs; psum assembles globally.
+        # Whole-ROW128-row gathers + full-lane select-accumulate (rows_adc);
+        # table tiles shared with the rerank below — see index.ivf.
         starts_sizes = jnp.maximum(
             1, (sizes_pair.astype(jnp.float32) * keep).astype(jnp.int32)
         )
         starts_sizes = jnp.where(sizes_pair > 0, starts_sizes, 0)
         cpr = 128 // cb
         rows_per_part = part_pad // cpr
-        pp_rows = -(-prefix_pad // cpr)
-        prow = parts_safe[:, :, None] * rows_per_part + jnp.arange(
-            pp_rows, dtype=jnp.int32
+        ppr = -(-prefix_pad // cpr)
+        tiles = tile_tables_rows(tables_g.reshape(qa, m, 16))
+        tlo_full, thi_full = tiles
+        prow = (
+            parts_safe.reshape(qa)[:, None] * rows_per_part
+            + jnp.arange(ppr, dtype=jnp.int32)[None, :]
+        ).reshape(qa * ppr)
+        rows = codes_l.reshape(-1, 128)[prow]               # (QA*ppr, 128)
+        pair_of_row = (
+            jnp.arange(qa, dtype=jnp.int32)[:, None]
+            .repeat(ppr, axis=1).reshape(qa * ppr)
         )
-        prefix_rows = codes_l.reshape(-1, 128)[prow]        # (Q, ma, ppr, 128)
-        pcodes = prefix_rows.reshape(q, ma, pp_rows * cpr, cb)[:, :, :prefix_pad]
-        pidx = unpack_codes(pcodes, m, 4)                   # (Q, ma, pp, M)
-        pd = jnp.zeros((q, ma, prefix_pad), jnp.float32)
-        for j in range(16):
-            pd = pd + jnp.sum(
-                jnp.where(pidx == j, tables_g[:, :, None, :, j], 0.0), axis=-1
-            )
-        col = jnp.arange(prefix_pad, dtype=jnp.int32)
+        pd = rows_adc(rows, tlo_full[pair_of_row], thi_full[pair_of_row], cb)
+        pd = pd.reshape(q, ma, ppr * cpr)
+        col = jnp.arange(ppr * cpr, dtype=jnp.int32)
         valid = (col[None, None, :] < starts_sizes[:, :, None]) & owned[:, :, None]
         pd = jnp.where(valid, pd, 0.0)
         pd_global = jax.lax.psum(pd, SHARD_AXIS)            # disjoint -> sum
         valid_global = jax.lax.psum(valid.astype(jnp.int32), SHARD_AXIS) > 0
         bound = keep_prefix_bound(
-            pd_global.reshape(q, ma * prefix_pad), r,
-            valid_global.reshape(q, ma * prefix_pad),
+            pd_global.reshape(q, ma * ppr * cpr), r,
+            valid_global.reshape(q, ma * ppr * cpr),
         )
         bound = clamp_bound_to_max_distance(bound, maxp)
 
@@ -200,7 +208,7 @@ def _search_impl(
         lv, ll = window_rerank(
             codes_l.reshape(-1, 128), labels_l.reshape(-1), part_pad,
             tables_g, screen_v, sel_part, sel_pair, sel_wi, sel_sz,
-            r, block_n, window,
+            r, block_n, window, tiles=tiles,
         )
 
         # ---- merge across shards.

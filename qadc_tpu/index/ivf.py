@@ -255,7 +255,7 @@ def _search_qadc_impl(
 ):
     # Shared front half: assign, tables, keep-prefix bound (db_query_4.cpp:
     # 230-242), QuantizerMAX int8 quantize (db_query_4.cpp:256-284).
-    parts, tables, qtables = _quantized_tables(index, queries, r, ma, keep, prefix_pad)
+    parts, tables, qtables, _ = _quantized_tables(index, queries, r, ma, keep, prefix_pad)
     m = index.pq.sq_count
     q = queries.shape[0]
     sizes = index.part_sizes[parts]  # (Q, ma)
@@ -301,42 +301,97 @@ def _search_qadc_impl(
     return vals, labs
 
 
+def tile_tables_rows(tables_qa3):
+    """Tile per-pair float tables to the ROW128 byte-lane layout.
+
+    Args:
+      tables_qa3: (QA, M, 16) float32 per-(query, assignment) tables.
+
+    Returns:
+      (tlo_full, thi_full): each (QA, 16*128) f32 where lane j*128 + c*cb + b
+      holds table[sq 2b (lo) / 2b+1 (hi), centroid j] — the layout matched by
+      a (A, 128) packed-codes row, so per-code distances are a 16-iteration
+      select-accumulate over full-lane 2-D tensors (see rows_adc).
+    """
+    qa, m, k = tables_qa3.shape
+    assert k == 16
+    cb = m // 2
+    cpr = 128 // cb
+    tev = tables_qa3[:, 0::2, :].transpose(0, 2, 1)   # (QA, 16, cb) even sqs
+    tod = tables_qa3[:, 1::2, :].transpose(0, 2, 1)
+    tlo_full = jnp.tile(tev, (1, 1, cpr)).reshape(qa, 16 * 128)
+    thi_full = jnp.tile(tod, (1, 1, cpr)).reshape(qa, 16 * 128)
+    return tlo_full, thi_full
+
+
+def rows_adc(rows, tlo_a, thi_a, cb: int):
+    """Exact float ADC distances for whole ROW128 storage rows.
+
+    Args:
+      rows: (A, 128) uint8 — packed 4-bit codes, cpr codes per row.
+      tlo_a/thi_a: (A, 16*128) f32 — per-row tables from tile_tables_rows,
+        already gathered to row granularity.
+
+    Returns:
+      (A, cpr) float32 distances, one per code in each row.
+    """
+    a = rows.shape[0]
+    cpr = 128 // cb
+    lo = (rows & 0x0F).astype(jnp.int32)         # lane l = c*cb + b -> sq 2b
+    hi = (rows >> 4).astype(jnp.int32)           #                  -> sq 2b+1
+    acc = jnp.zeros((a, 128), jnp.float32)
+    for j in range(16):
+        acc = acc + jnp.where(lo == j, tlo_a[:, j * 128 : (j + 1) * 128], 0.0)
+        acc = acc + jnp.where(hi == j, thi_a[:, j * 128 : (j + 1) * 128], 0.0)
+    # Per-code byte reduction as a tiny selector matmul (S[l, c] = l//cb == c);
+    # HIGHEST keeps f32-exact sums (bf16 passes would perturb the ranking).
+    s_mat = jnp.asarray(
+        (np.arange(128)[:, None] // cb) == np.arange(cpr)[None, :], jnp.float32
+    )
+    return jnp.dot(acc, s_mat, precision=jax.lax.Precision.HIGHEST)
+
+
 def _quantized_tables(index, queries, r, ma, keep, prefix_pad):
     """Shared front half: assign, tables, keep-prefix bound, int8 quantize.
 
-    Returns (parts (Q, ma), tables f32 (Q, ma, M, 16), qtables int8).
+    Returns (parts (Q, ma), tables f32 (Q, ma, M, 16), qtables int8,
+    (tlo_full, thi_full) row-tiled float tables for reuse by the rerank).
     """
     parts, rot = assign_queries(index, queries, ma)
     tables = adc_tables(rot, index.pq.centroids)
     m = index.pq.sq_count
     q = queries.shape[0]
+    qa = q * ma
     sizes = index.part_sizes[parts]
 
     starts_sizes = jnp.maximum(
         1, (sizes.astype(jnp.float32) * keep).astype(jnp.int32)
     )
     starts_sizes = jnp.where(sizes > 0, starts_sizes, 0)
-    # Flat single-axis ROW128 gather of the keep-prefix codes; distances via
-    # select-accumulate (no one-hot materialization, no element gathers).
+    # Keep-prefix distances via whole-ROW128-row gathers + full-lane select-
+    # accumulate (rows_adc): no 4-D small-minor tensors (those get ~7x TPU
+    # layout padding), no element gathers, tables tiled once and shared with
+    # the rerank stage.
+    cb = index.pq.code_size
     cpr = index.cpr
     rows_per_part = index.part_pad // cpr
-    pp_rows = -(-prefix_pad // cpr)
-    prow = parts[:, :, None] * rows_per_part + jnp.arange(pp_rows, dtype=jnp.int32)
-    prefix_rows = index.codes.reshape(-1, 128)[prow]        # (Q, ma, ppr, 128)
-    q_, ma_ = parts.shape
-    pcodes_prefix = prefix_rows.reshape(
-        q_, ma_, pp_rows * cpr, index.pq.code_size
-    )[:, :, :prefix_pad]
-    pidx = unpack_codes(pcodes_prefix, m, 4)               # (Q, ma, pp, M)
-    pd = jnp.zeros((q, ma, prefix_pad), jnp.float32)
-    for j in range(16):
-        pd = pd + jnp.sum(
-            jnp.where(pidx == j, tables[:, :, None, :, j], 0.0), axis=-1
-        )
-    col = jnp.arange(prefix_pad, dtype=jnp.int32)
+    ppr = -(-prefix_pad // cpr)                  # prefix rows per partition
+    tlo_full, thi_full = tile_tables_rows(tables.reshape(qa, m, 16))
+    prow = (
+        parts.reshape(qa)[:, None] * rows_per_part
+        + jnp.arange(ppr, dtype=jnp.int32)[None, :]
+    ).reshape(qa * ppr)
+    rows = index.codes.reshape(-1, 128)[prow]               # (QA*ppr, 128)
+    pair_of_row = (
+        jnp.arange(qa, dtype=jnp.int32)[:, None]
+        .repeat(ppr, axis=1).reshape(qa * ppr)
+    )
+    pd = rows_adc(rows, tlo_full[pair_of_row], thi_full[pair_of_row], cb)
+    pd = pd.reshape(q, ma, ppr * cpr)
+    col = jnp.arange(ppr * cpr, dtype=jnp.int32)
     valid = col[None, None, :] < starts_sizes[:, :, None]
     bound = keep_prefix_bound(
-        pd.reshape(q, ma * prefix_pad), r, valid.reshape(q, ma * prefix_pad)
+        pd.reshape(q, ma * ppr * cpr), r, valid.reshape(q, ma * ppr * cpr)
     )
 
     tables_nn = jnp.maximum(tables, 0.0)
@@ -346,7 +401,7 @@ def _quantized_tables(index, queries, r, ma, keep, prefix_pad):
     qtables = quantize_tables_int8(
         tables, bound[:, None, None, None], qmin[:, None, None, None]
     )
-    return parts, tables, qtables
+    return parts, tables, qtables, (tlo_full, thi_full)
 
 
 @partial(
@@ -373,7 +428,7 @@ def _search_qadc_grouped_impl(
         lut_scan_grouped_prefetch,
     )
 
-    parts, tables, qtables = _quantized_tables(index, queries, r, ma, keep, prefix_pad)
+    parts, tables, qtables, tiles = _quantized_tables(index, queries, r, ma, keep, prefix_pad)
     q = queries.shape[0]
     m = index.pq.sq_count
     qa = q * ma
@@ -445,14 +500,14 @@ def _search_qadc_grouped_impl(
         index.codes.reshape(-1, 128), index.labels.reshape(-1), part_pad,
         tw_src, screen_v, sel_part, sel_pair, sel_wi,
         jnp.take_along_axis(sz.reshape(q, ma), sel_ai, axis=1),
-        r, block_n, window,
+        r, block_n, window, tiles=tiles if rerank else None,
     )
 
 
 def window_rerank(
     codes_rows, labels_flat, part_pad: int,
     tables_qa, screen_v, sel_part, sel_pair, sel_wi, sel_sz,
-    r: int, block_n: int, window: int,
+    r: int, block_n: int, window: int, tiles=None,
 ):
     """Expand winning windows to their codes and rank by exact float distance.
 
@@ -499,32 +554,14 @@ def window_rerank(
 
     rows = codes_rows[grow]                      # (A, 128) u8  [row gather]
     lab = labels_flat.reshape(-1, cpr)[grow]     # (A, cpr)     [row gather]
-    lo = (rows & 0x0F).astype(jnp.int32)         # lane l = c*cb + b -> sq 2b
-    hi = (rows >> 4).astype(jnp.int32)           #                  -> sq 2b+1
 
-    # Per-pair tables tiled to the 128-lane byte layout at qa level (small),
-    # then ONE row gather per selected window.
-    t3 = tables_qa.reshape(qa, m, 16)
-    tev = t3[:, 0::2, :].transpose(0, 2, 1)      # (qa, 16, cb) even sqs
-    tod = t3[:, 1::2, :].transpose(0, 2, 1)
-    tlo_full = jnp.tile(tev, (1, 1, cpr)).reshape(qa, 16 * 128)
-    thi_full = jnp.tile(tod, (1, 1, cpr)).reshape(qa, 16 * 128)
+    # Per-pair tables tiled to the 128-lane byte layout at qa level (small,
+    # or reused from the front via `tiles`), then ONE row gather per window.
+    if tiles is None:
+        tiles = tile_tables_rows(tables_qa.reshape(qa, m, 16))
+    tlo_full, thi_full = tiles
     pair = sel_pair.reshape(a)
-    tlo_a = tlo_full[pair]                       # (A, 2048)    [row gather]
-    thi_a = thi_full[pair]
-
-    # Select-accumulate over the 16 centroid ids, full-lane.
-    acc = jnp.zeros((a, 128), jnp.float32)
-    for j in range(16):
-        acc = acc + jnp.where(lo == j, tlo_a[:, j * 128 : (j + 1) * 128], 0.0)
-        acc = acc + jnp.where(hi == j, thi_a[:, j * 128 : (j + 1) * 128], 0.0)
-
-    # Per-code byte reduction as a tiny selector matmul (S[l, c] = l//cb == c);
-    # HIGHEST keeps f32-exact sums (bf16 passes would perturb the ranking).
-    s_mat = jnp.asarray(
-        (np.arange(128)[:, None] // cb) == np.arange(cpr)[None, :], jnp.float32
-    )
-    cvf = jnp.dot(acc, s_mat, precision=jax.lax.Precision.HIGHEST)  # (A, cpr)
+    cvf = rows_adc(rows, tlo_full[pair], thi_full[pair], cb)   # (A, cpr)
 
     c_iota = jnp.arange(cpr, dtype=jnp.int32)
     alive = (
