@@ -29,7 +29,7 @@ from qadc_tpu.core.layout import (
     to_row128,
 )
 from qadc_tpu.core.packing import gather_codes_row128, row128_to_codes, unpack_codes
-from qadc_tpu.ops.topk import screen_smallest, topk_smallest
+from qadc_tpu.ops.topk import merge_topk, screen_smallest, topk_smallest
 from qadc_tpu.kernels.lut_scan import (
     DEFAULT_BLOCK_N,
     DEFAULT_WINDOW,
@@ -133,6 +133,86 @@ def _exact_rerank(tables, cand_codes, sq_bits: int):
     return jnp.sum(gathered, axis=-1)
 
 
+def decode_rows(pq: ProductQuantizer, idx):
+    """PQ reconstruction via per-sub-quantizer ROW gathers.
+
+    Args:
+      idx: (..., M) int32 centroid indices.
+
+    Returns:
+      (..., dim) float32 reconstructions. Unlike quantizers.pq.decode (a
+      2-axis fancy gather, which lowers pathologically on TPU), this loops the
+      M sub-quantizers and does M single-axis embedding-style row gathers.
+    """
+    parts = [pq.centroids[mm][idx[..., mm]] for mm in range(pq.sq_count)]
+    return jnp.concatenate(parts, axis=-1)
+
+
+@partial(jax.jit, static_argnames=("r",))
+def _search_adc_recon(index: FlatIndex, queries, r: int):
+    """Wide-K (16-bit) ADC scan as reconstruction GEMM.
+
+    The ADC distance IS the squared distance to the PQ reconstruction
+    (table[m][v] = ||res_m - C_m[v]||^2, summed over m), so with K = 65536 the
+    TPU-native scan is: decode codes (M row gathers) -> one MXU GEMM against
+    the query batch -> top-r. Replaces both the 65536-entry tables (128 MB+
+    per query batch) and the 65536-wide one-hots of the naive formulation.
+    Semantics match scan_standard<uint16_t> (query_common.hpp:92-118).
+    Chunked over codes; memory is O(chunk * dim), independent of N.
+    """
+    import math as _math
+
+    pq = index.pq
+    rotated = pq.rotate(jnp.asarray(queries, jnp.float32))
+    q = rotated.shape[0]
+    m = pq.sq_count
+    cb = pq.code_size
+    cpr = index.cpr
+    n_pad = index.n_pad
+    chunk = _math.gcd(n_pad, 65536)
+    rpc = chunk // cpr                      # storage rows per chunk
+    q2 = jnp.sum(rotated * rotated, axis=1)  # (Q,)
+    rk = min(r, chunk)
+
+    w = 16                                   # exact-screen window
+    g = chunk // w
+
+    def body(i, carry):
+        bv, bl = carry
+        rows = jax.lax.dynamic_slice_in_dim(index.codes, i * rpc, rpc, axis=0)
+        idx = unpack_codes(rows.reshape(chunk, cb), m, 16)     # (chunk, M)
+        dec = decode_rows(pq, idx)                             # (chunk, dim)
+        d2 = jnp.sum(dec * dec, axis=1)
+        cross = jnp.dot(
+            rotated, dec.T, precision=jax.lax.Precision.HIGHEST
+        )                                                      # (Q, chunk)
+        d = q2[:, None] + d2[None, :] - 2.0 * cross
+        col = jnp.arange(chunk, dtype=jnp.int32)
+        d = jnp.where(col[None, :] + i * chunk < index.n, d, jnp.inf)
+        # EXACT top-k via window screening: if code x's window is not among
+        # the top-rk windows by min, then rk windows each hold a code better
+        # than x, so x is not in the true top-rk. Expanding the winning
+        # windows fully therefore contains the exact top-rk; ranking the
+        # expansion is exact — and the expensive top_k runs over chunk/W
+        # columns instead of chunk. Windows are strided (col = wi + t*g) so
+        # the reduce needs no small-minor reshape.
+        wmin = jnp.min(d.reshape(q, w, g), axis=1)             # (Q, g)
+        _, selw = jax.lax.top_k(-wmin, rk)                     # (Q, rk) window ids
+        cols = (
+            selw[:, :, None] + jnp.arange(w, dtype=jnp.int32)[None, None, :] * g
+        ).reshape(q, rk * w)
+        cv = jnp.take_along_axis(d, cols, axis=1)              # (Q, rk*W)
+        cl = jnp.minimum(cols + i * chunk, max(index.n - 1, 0))
+        cv2, cl2 = topk_smallest(cv, cl, rk)
+        return merge_topk(bv, bl, cv2, cl2, r)
+
+    init = (
+        jnp.full((q, r), jnp.inf, jnp.float32),
+        jnp.zeros((q, r), jnp.int32),
+    )
+    return jax.lax.fori_loop(0, n_pad // chunk, body, init)
+
+
 @partial(jax.jit, static_argnames=("r",))
 def search_adc(index: FlatIndex, queries, r: int = 100):
     """Conventional float ADC search.
@@ -140,7 +220,7 @@ def search_adc(index: FlatIndex, queries, r: int = 100):
     On TPU the scan runs as a Pallas one-hot kernel (4-bit: int tables become
     f32; 8-bit: 256-wide one-hot, scan_standard equivalent) with an exact-f32
     gather rerank of the screened candidates; elsewhere the jnp path runs.
-    16-bit codes always use the jnp path (65536-wide one-hots are impractical).
+    16-bit codes use the reconstruction-GEMM scan (_search_adc_recon).
 
     Args:
       queries: (Q, dim) float32.
@@ -149,6 +229,8 @@ def search_adc(index: FlatIndex, queries, r: int = 100):
     Returns:
       (dists (Q, r) float32 ascending, labels (Q, r) int32).
     """
+    if index.pq.sq_bits == 16:
+        return _search_adc_recon(index, queries, r)
     rotated = index.pq.rotate(queries)  # flat assignment = identity residual
     tables = adc_tables(rotated, index.pq.centroids)  # (Q, M, K)
     n_pad = index.n_pad

@@ -216,11 +216,20 @@ def assign_queries(index: IVFIndex, queries, ma: int):
 
 @partial(jax.jit, static_argnames=("r", "ma"))
 def search_adc(index: IVFIndex, queries, r: int = 100, ma: int = 1):
-    """Conventional float ADC IVF search (reference: db_query.cpp)."""
+    """Conventional float ADC IVF search (reference: db_query.cpp).
+
+    4/8-bit: one-hot x table einsum per probed partition. 16-bit: the ADC
+    distance is computed as the squared distance to the PQ reconstruction
+    (decode = per-sq row gathers; see index.flat._search_adc_recon) — 65536-
+    entry tables and one-hots never materialize.
+    """
     parts, rot = assign_queries(index, queries, ma)
-    tables = adc_tables(rot, index.pq.centroids)  # (Q, ma, M, K)
-    m, k = index.pq.sq_count, index.pq.sq_centroid_count
-    tflat = tables.reshape(*tables.shape[:2], m * k)
+    m = index.pq.sq_count
+    wide = index.pq.sq_bits == 16
+    if not wide:
+        tables = adc_tables(rot, index.pq.centroids)  # (Q, ma, M, K)
+        k = index.pq.sq_centroid_count
+        tflat = tables.reshape(*tables.shape[:2], m * k)
 
     sizes = index.part_sizes[parts]  # (Q, ma)
 
@@ -231,9 +240,26 @@ def search_adc(index: IVFIndex, queries, r: int = 100, ma: int = 1):
             -1, index.part_pad, index.pq.code_size
         )                                              # (Q, part_pad, cb)
         plabels = index.labels[pids]                   # (Q, part_pad)
-        oh = _one_hot_gathered(pcodes, m, index.pq.sq_bits, jnp.float32)
-        t = jax.lax.dynamic_index_in_dim(tflat, ass_i, 1, keepdims=False)
-        d = jnp.einsum("qsf,qf->qs", oh, t, preferred_element_type=jnp.float32)
+        if wide:
+            from qadc_tpu.index.flat import decode_rows
+
+            idx = unpack_codes(pcodes, m, 16)          # (Q, part_pad, M)
+            dec = decode_rows(index.pq, idx)           # (Q, part_pad, dim)
+            ra = jax.lax.dynamic_index_in_dim(rot, ass_i, 1, keepdims=False)
+            cross = jnp.einsum(
+                "qd,qsd->qs", ra, dec,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            d = (
+                jnp.sum(ra * ra, axis=1)[:, None]
+                + jnp.sum(dec * dec, axis=2)
+                - 2.0 * cross
+            )
+        else:
+            oh = _one_hot_gathered(pcodes, m, index.pq.sq_bits, jnp.float32)
+            t = jax.lax.dynamic_index_in_dim(tflat, ass_i, 1, keepdims=False)
+            d = jnp.einsum("qsf,qf->qs", oh, t, preferred_element_type=jnp.float32)
         # Mask padded rows (duplicates of the last code would flood the top-r
         # at our padding granularity) and empty partitions.
         sz = jax.lax.dynamic_index_in_dim(sizes, ass_i, 1, keepdims=True)

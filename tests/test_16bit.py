@@ -40,3 +40,65 @@ def test_16bit_roundtrip_and_search(rng, m):
     _, labels = flat.search_adc(index, queries, r=10)
     rec = recall_at_r(np.asarray(labels), np.asarray(gt))
     assert rec > 0.9, rec
+
+
+def _mini_pq16(rng, m, dim, k_real=512):
+    """A 16-bit PQ whose codebook has k_real meaningful centroids (the other
+    65536-k_real are tiny noise) — keeps tests fast while exercising the full
+    uint16 index range via the layout."""
+    from qadc_tpu.quantizers.pq import ProductQuantizer
+
+    k = 1 << 16
+    cent = (rng.normal(size=(m, k, dim // m)) * 1e-3).astype(np.float32)
+    cent[:, :k_real] = rng.normal(size=(m, k_real, dim // m)).astype(np.float32)
+    return ProductQuantizer(centroids=np.asarray(cent), sq_bits=16).validate()
+
+
+def test_16bit_recon_matches_table_oracle(rng):
+    """_search_adc_recon distances == sum of 65536-entry table lookups
+    (scan_standard<uint16_t> semantics, query_common.hpp:92-118)."""
+    import jax.numpy as jnp
+    from qadc_tpu.quantizers.pq import ProductQuantizer
+
+    m, dim, n, q = 2, 8, 700, 5
+    pq = _mini_pq16(rng, m, dim)
+    base = rng.normal(size=(n, dim)).astype(np.float32)
+    queries = rng.normal(size=(q, dim)).astype(np.float32)
+    index = flat.add(flat.FlatIndex.create(pq), base)
+    d, l = flat.search_adc(index, queries, r=10)
+    d, l = np.asarray(d), np.asarray(l)
+
+    # Oracle: explicit table lookups.
+    codes = np.asarray(encode(pq, base))
+    idx = codes.reshape(n, m, 2)
+    idx = (idx[..., 0].astype(np.int64) | (idx[..., 1].astype(np.int64) << 8))
+    cent = np.asarray(pq.centroids)
+    qs = queries.reshape(q, m, dim // m)
+    # tables[q, mm, v] = ||qs[q,mm] - cent[mm,v]||^2 — evaluate at code indices.
+    want = np.zeros((q, n), np.float32)
+    for mm in range(m):
+        diff = qs[:, None, mm, :] - cent[mm][idx[:, mm]][None, :, :]
+        want += np.sum(diff * diff, axis=-1)
+    order = np.argsort(want, axis=1)[:, :10]
+    np.testing.assert_array_equal(l, order)
+    np.testing.assert_allclose(
+        d, np.take_along_axis(want, order, axis=1), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_16bit_ivf_search(rng):
+    import jax
+    from qadc_tpu.index import ivf
+    from qadc_tpu.ops.knn import assign_nearest
+
+    m, dim, n = 2, 8, 4000
+    base = rng.normal(size=(n, dim)).astype(np.float32)
+    queries = base[:8] + 0.001 * rng.normal(size=(8, dim)).astype(np.float32)
+    coarse = ivf.train_coarse(jax.random.PRNGKey(0), base[:2000], 8, iters=5)
+    a = np.asarray(assign_nearest(base[:2000], coarse))
+    pq = _mini_pq16(rng, m, dim)
+    index = ivf.add(ivf.IVFIndex.create(pq, coarse), base)
+    _, gt = exact_knn(queries, base, 1)
+    _, labels = ivf.search_adc(index, queries, r=20, ma=4)
+    rec = recall_at_r(np.asarray(labels), np.asarray(gt))
+    assert rec > 0.7, rec
