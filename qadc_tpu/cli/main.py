@@ -102,21 +102,26 @@ def cmd_create_index(args):
 
 def cmd_add(args):
     from qadc_tpu.index.flat import FlatIndex
-    from qadc_tpu.index import flat as flat_mod, ivf as ivf_mod
+    from qadc_tpu.index.build import FlatBuilder, IVFBuilder
     from qadc_tpu.io import load_index, save_index
     from qadc_tpu.io.stream import VectorStream
     from qadc_tpu.eval.metrics import PhaseTimer
 
     index = load_index(args.index)
-    add_fn = flat_mod.add if isinstance(index, FlatIndex) else ivf_mod.add
+    builder = (
+        FlatBuilder.from_index(index)
+        if isinstance(index, FlatIndex)
+        else IVFBuilder.from_index(index)
+    )
     stream = VectorStream(args.base, chunk_size=args.chunk_size)
     timer = PhaseTimer()
     for off, chunk in stream:
-        index = add_fn(index, chunk)
+        builder.add(chunk)
         print(
             f"added [{off}, {off+chunk.shape[0]}) in {timer.lap_us()/1e6:.1f}s",
             file=sys.stderr,
         )
+    index = builder.finalize()
     save_index(args.index, index)
     print(f"index now holds {index.n} vectors", file=sys.stderr)
 

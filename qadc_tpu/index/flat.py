@@ -22,12 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from qadc_tpu.core.layout import (
-    DEFAULT_BLOCK,
-    codes_per_row,
-    pad_codes_to_block,
-    to_row128,
-)
+from qadc_tpu.core.layout import DEFAULT_BLOCK, codes_per_row
 from qadc_tpu.core.packing import gather_codes_row128, row128_to_codes, unpack_codes
 from qadc_tpu.ops.topk import merge_topk, screen_smallest, topk_smallest
 from qadc_tpu.kernels.lut_scan import (
@@ -46,7 +41,7 @@ from qadc_tpu.ops.quantization import (
     quantize_tables_int8,
 )
 from qadc_tpu.ops.tables import adc_tables
-from qadc_tpu.quantizers.pq import ProductQuantizer, encode
+from qadc_tpu.quantizers.pq import ProductQuantizer
 
 
 @partial(
@@ -99,24 +94,14 @@ def add(index: FlatIndex, vectors, encode_batch: int = 262144) -> FlatIndex:
     """Encode and append vectors (reference: flat_db::add_vectors,
     databases.hpp:136-156 — OpenMP threads become device-side batches).
 
-    Host-side re-pad; call outside jit.
+    One-shot wrapper over index.build.FlatBuilder; for streamed multi-chunk
+    ingest use the builder directly (one concat + re-layout at finalize).
     """
-    vectors = np.asarray(vectors, np.float32)
-    cb = index.pq.code_size
-    chunks = []
-    for s in range(0, vectors.shape[0], encode_batch):
-        chunks.append(np.asarray(encode(index.pq, vectors[s : s + encode_batch])))
-    old = (
-        np.asarray(index.codes).reshape(-1, cb)[: index.n]
-        if index.n
-        else np.zeros((0, cb), np.uint8)
-    )
-    all_codes = np.concatenate([old] + chunks, axis=0)
-    return FlatIndex(
-        pq=index.pq,
-        codes=jnp.asarray(to_row128(pad_codes_to_block(all_codes))),
-        n=int(all_codes.shape[0]),
-    )
+    from qadc_tpu.index.build import FlatBuilder
+
+    b = FlatBuilder.from_index(index)
+    b.add(vectors, encode_batch=encode_batch)
+    return b.finalize()
 
 
 def _exact_rerank(tables, cand_codes, sq_bits: int):

@@ -30,7 +30,7 @@ from qadc_tpu.core.layout import codes_per_row
 from qadc_tpu.core.packing import unpack_codes
 from qadc_tpu.kernels.lut_scan import slots_to_rows, window_slots
 from qadc_tpu.ops.kmeans import kmeans
-from qadc_tpu.ops.knn import exact_knn, assign_nearest
+from qadc_tpu.ops.knn import exact_knn
 from qadc_tpu.ops.quantization import (
     clamp_bound_to_max_distance,
     keep_prefix_bound,
@@ -38,7 +38,7 @@ from qadc_tpu.ops.quantization import (
 )
 from qadc_tpu.ops.tables import adc_tables
 from qadc_tpu.ops.topk import merge_topk, screen_smallest, topk_smallest
-from qadc_tpu.quantizers.pq import ProductQuantizer, encode
+from qadc_tpu.quantizers.pq import ProductQuantizer
 
 PART_ALIGN = 512  # partition padding granularity (rows); multiple of the
                   # grouped-scan kernel block so partitions tile evenly
@@ -127,69 +127,16 @@ def compute_residuals(index: IVFIndex, vectors, assignments):
 def add(index: IVFIndex, vectors, encode_batch: int = 262144) -> IVFIndex:
     """Assign -> residual -> encode -> scatter into partitions.
 
-    Reference: index_db::add_vectors (databases.hpp:270-298). Host-side
-    repacking (append path); device does assignment and encoding.
+    Reference: index_db::add_vectors (databases.hpp:270-298). One-shot
+    convenience wrapper over index.build.IVFBuilder — for STREAMED ingest
+    (many chunks) use the builder directly so per-partition buffers append in
+    place and tail padding happens once at finalize().
     """
-    vectors = np.asarray(vectors, np.float32)
-    new_codes, new_assign = [], []
-    for s in range(0, vectors.shape[0], encode_batch):
-        chunk = jnp.asarray(vectors[s : s + encode_batch])
-        a = assign_nearest(chunk, index.coarse_centroids)
-        res = chunk - index.coarse_centroids[a]
-        new_codes.append(np.asarray(encode(index.pq, res)))
-        new_assign.append(np.asarray(a))
-    codes_np = np.concatenate(new_codes, axis=0)
-    assign_np = np.concatenate(new_assign, axis=0)
-    new_labels = np.arange(index.n, index.n + vectors.shape[0], dtype=np.int32)
+    from qadc_tpu.index.build import IVFBuilder
 
-    p = index.part_count
-    cb = index.pq.code_size
-    cpr = index.cpr
-    old_sizes = np.asarray(index.part_sizes)
-    # row128 -> per-partition packed codes for repacking.
-    old_codes = np.asarray(index.codes).reshape(p, -1, cb)
-    old_labels = np.asarray(index.labels)
-
-    # Vectorized scatter (a per-partition python loop is too slow at 100M-
-    # scale ingest): sort new rows by partition, then place each partition's
-    # run after its existing rows.
-    new_counts = np.bincount(assign_np, minlength=p).astype(np.int64)
-    order = np.argsort(assign_np, kind="stable")
-    sizes = (old_sizes.astype(np.int64) + new_counts).astype(np.int32)
-    max_size = int(sizes.max()) if p else 0
-    part_pad = max(PART_ALIGN, -(-max_size // PART_ALIGN) * PART_ALIGN)
-
-    codes3 = np.zeros((p, part_pad, cb), np.uint8)
-    labels3 = np.zeros((p, part_pad), np.int32)
-    # Existing rows.
-    old_pad = old_codes.shape[1]
-    copy_w = min(old_pad, part_pad)
-    codes3[:, :copy_w] = old_codes[:, :copy_w]
-    labels3[:, :copy_w] = old_labels[:, :copy_w]
-    # New rows: flat destinations pi*part_pad + old_size[pi] + rank_within_pi.
-    starts = np.concatenate([[0], np.cumsum(new_counts)[:-1]])
-    rank = np.arange(len(order), dtype=np.int64) - starts[assign_np[order]]
-    dest = assign_np[order].astype(np.int64) * part_pad + old_sizes[assign_np[order]] + rank
-    codes3.reshape(-1, cb)[dest] = codes_np[order]
-    labels3.reshape(-1)[dest] = new_labels[order]
-    # Pad tails by repeating each partition's last code / clamping its label
-    # (reference quirk, simd_layout.hpp:47-50).
-    rows = np.arange(part_pad, dtype=np.int64)[None, :]
-    last = np.maximum(sizes.astype(np.int64), 1)[:, None] - 1
-    src = np.minimum(rows, last)
-    gather_idx = (np.arange(p, dtype=np.int64)[:, None] * part_pad + src).reshape(-1)
-    codes3 = codes3.reshape(-1, cb)[gather_idx].reshape(p, part_pad, cb)
-    labels3 = labels3.reshape(-1)[gather_idx].reshape(p, part_pad)
-
-    return IVFIndex(
-        pq=index.pq,
-        coarse_centroids=index.coarse_centroids,
-        codes=jnp.asarray(codes3.reshape(p, part_pad // cpr, 128)),
-        labels=jnp.asarray(labels3),
-        part_sizes=jnp.asarray(sizes),
-        n=index.n + int(vectors.shape[0]),
-        max_part_size=max_size,
-    )
+    b = IVFBuilder.from_index(index)
+    b.add(vectors, encode_batch=encode_batch)
+    return b.finalize()
 
 
 def _one_hot_gathered(codes, sq_count: int, sq_bits: int, dtype):
