@@ -25,12 +25,44 @@ def make_mesh(n_devices: int | None = None, axis: str = SHARD_AXIS) -> Mesh:
     return Mesh(np.array(devices), (axis,))
 
 
-def maybe_init_distributed():
-    """Initialize jax.distributed when running multi-process (no-op otherwise)."""
+def maybe_init_distributed(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+) -> bool:
+    """Initialize jax.distributed for multi-host runs; safe to call anywhere.
+
+    Resolution order: explicit args > QADC_COORDINATOR/QADC_NUM_PROCESSES/
+    QADC_PROCESS_ID env vars > jax's own auto-detection (TPU pod metadata,
+    SLURM, etc. — jax.distributed.initialize() with no args). Single-process
+    runs with none of these configured are a no-op.
+
+    Returns True when a multi-process group is (or already was) initialized.
+    """
+    import os
+
+    from jax._src import distributed as _dist
+
+    if _dist.global_state.client is not None:  # already initialized
+        return jax.process_count() > 1
+
+    coordinator_address = coordinator_address or os.environ.get("QADC_COORDINATOR")
+    if num_processes is None and "QADC_NUM_PROCESSES" in os.environ:
+        num_processes = int(os.environ["QADC_NUM_PROCESSES"])
+    if process_id is None and "QADC_PROCESS_ID" in os.environ:
+        process_id = int(os.environ["QADC_PROCESS_ID"])
+
+    if coordinator_address is not None:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+        return True
+    # No explicit config: let jax probe cluster environments (TPU pod, SLURM,
+    # GKE). On a plain single process this raises — treat as single-process.
     try:
-        if jax.process_count() > 1:
-            return  # already initialized
-    except RuntimeError:
-        pass
-    # Single-process (or pre-initialized): nothing to do. Multi-host launchers
-    # should call jax.distributed.initialize() before importing qadc_tpu.dist.
+        jax.distributed.initialize()
+        return jax.process_count() > 1
+    except Exception:
+        return False

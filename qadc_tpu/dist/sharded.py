@@ -59,16 +59,22 @@ def shard_flat_codes(index: FlatIndex, mesh) -> FlatIndex:
 
 
 @partial(
-    jax.jit, static_argnames=("r", "keep", "rerank", "mesh")
+    jax.jit,
+    static_argnames=("r", "keep", "rerank", "mesh", "use_kernel", "interpret"),
 )
 def search_qadc_flat_sharded(
     index: FlatIndex, queries, r: int = 100, keep: float = 0.01,
-    rerank: bool = True, mesh=None,
+    rerank: bool = True, mesh=None, use_kernel: bool | None = None,
+    interpret: bool = False,
 ):
     """Quick-ADC search over code-sharded FlatIndex.
 
     Same semantics as index.flat.search_qadc; the scan fans out over the mesh
     and candidates merge via all_gather.
+
+    use_kernel: run the Pallas LUT-scan + window-expansion path per shard
+    (default: on TPU when the local geometry allows); False = jnp scan.
+    interpret: Pallas interpret mode (CPU-mesh tests of the kernel path).
     """
     if mesh is None:
         mesh = make_mesh()
@@ -101,24 +107,62 @@ def search_qadc_flat_sharded(
     tflat = tables.reshape(q, m * 16)
     n_real = index.n if index.n else 0
 
-    def local_shard(codes_local, qt, tf):
+    from qadc_tpu.kernels.lut_scan import (
+        DEFAULT_BLOCK_N,
+        DEFAULT_WINDOW,
+        build_scan_tables,
+        lut_scan_reduce,
+    )
+
+    window = min(cpr, DEFAULT_WINDOW)
+    if use_kernel is None:
+        use_kernel = (
+            jax.default_backend() == "tpu"
+            and m in (16, 32)
+            and local_rows % DEFAULT_BLOCK_N == 0
+            and local_rows // window >= 2 * rr
+        )
+    tlo, thi = build_scan_tables(qtables) if use_kernel else (None, None)
+
+    def local_shard(codes_local, qt, tf, tlo, thi):
         shard_i = jax.lax.axis_index(SHARD_AXIS)
         offset = shard_i * local_rows
-        packed_local = row128_to_codes(codes_local, cb)
-        acc = adc_scan_int8(packed_local, qt, saturate=False).astype(jnp.float32)
-        glabels = offset + jnp.arange(local_rows, dtype=jnp.int32)
-        acc = jnp.where(glabels[None, :] < n_real, acc, jnp.inf)
-        neg_top, rows = jax.lax.top_k(-acc, rr)
-        cl = rows + offset
-        if rerank:
-            # Float rerank against LOCAL codes — candidates' codes stay on-shard.
-            cand_codes = gather_codes_row128(codes_local, rows, cb)  # (Q, rr, cb)
-            idx = unpack_codes(cand_codes, m, 4)
-            oh = jax.nn.one_hot(idx, 16, dtype=jnp.float32).reshape(q, rr, m * 16)
-            cv = jnp.einsum("qcf,qf->qc", oh, tf, preferred_element_type=jnp.float32)
-            cv = jnp.where(jnp.isfinite(-neg_top), cv, jnp.inf)
+        glabels = jnp.minimum(
+            offset + jnp.arange(local_rows, dtype=jnp.int32),
+            max(n_real - 1, 0),
+        )
+        if use_kernel:
+            # Pallas scan of the resident shard + window expansion; labels
+            # stay global, the rerank gathers only local rows.
+            from qadc_tpu.index.flat import window_search_rows
+
+            vals, _ = lut_scan_reduce(
+                codes_local, tlo, thi, cb=cb, window=window, interpret=interpret
+            )
+            local_size = jnp.clip(n_real - offset, 0, local_rows)
+            rank_t = tf.reshape(q, m, 16) if rerank else qt.astype(jnp.float32)
+            cv, cl = window_search_rows(
+                codes_local, glabels, local_size, vals, rank_t, rr,
+                min(rr, local_rows // window), not rerank,
+                DEFAULT_BLOCK_N, window,
+            )
         else:
-            cv = -neg_top
+            packed_local = row128_to_codes(codes_local, cb)
+            acc = adc_scan_int8(packed_local, qt, saturate=False)
+            acc = acc.astype(jnp.float32)
+            valid = offset + jnp.arange(local_rows, dtype=jnp.int32)
+            acc = jnp.where(valid[None, :] < n_real, acc, jnp.inf)
+            neg_top, rows = jax.lax.top_k(-acc, rr)
+            cl = rows + offset
+            if rerank:
+                # Float rerank against LOCAL codes — candidate codes stay on-shard.
+                cand_codes = gather_codes_row128(codes_local, rows, cb)  # (Q, rr, cb)
+                idx = unpack_codes(cand_codes, m, 4)
+                oh = jax.nn.one_hot(idx, 16, dtype=jnp.float32).reshape(q, rr, m * 16)
+                cv = jnp.einsum("qcf,qf->qc", oh, tf, preferred_element_type=jnp.float32)
+                cv = jnp.where(jnp.isfinite(-neg_top), cv, jnp.inf)
+            else:
+                cv = -neg_top
         # Merge across shards: one all_gather of (dist, label) pairs.
         all_v = jax.lax.all_gather(cv, SHARD_AXIS, axis=1, tiled=True)   # (Q, D*rr)
         all_l = jax.lax.all_gather(cl, SHARD_AXIS, axis=1, tiled=True)
@@ -127,11 +171,15 @@ def search_qadc_flat_sharded(
     shard_fn = jax.shard_map(
         local_shard,
         mesh=mesh,
-        in_specs=(P(SHARD_AXIS, None), P(), P()),
+        in_specs=(P(SHARD_AXIS, None), P(), P(), P(), P()),
         out_specs=(P(), P()),
         check_vma=False,
     )
-    return shard_fn(index.codes, qtables, tflat)
+    z = jnp.zeros((1,), jnp.int8)
+    return shard_fn(
+        index.codes, qtables, tflat,
+        tlo if use_kernel else z, thi if use_kernel else z,
+    )
 
 
 def search_adc_flat_sharded(index: FlatIndex, queries, r: int = 100, mesh=None):

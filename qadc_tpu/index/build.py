@@ -164,9 +164,20 @@ class IVFBuilder:
 
     def finalize(self) -> IVFIndex:
         """Tail-pad (repeat last code / clamp label) + ROW128 layout, once."""
+        import sys
+
         p, _, cb = self.codes.shape
         cpr = 128 // cb
         max_size = int(self.sizes.max()) if p else 0
+        empty = int((self.sizes == 0).sum()) if p else 0
+        if self.n and empty:
+            # Reference warns per empty partition at prepare time
+            # (db_query_4.cpp:113-117); empty partitions are tolerated (their
+            # rows are fully masked) but waste probes.
+            print(
+                f"warning: {empty}/{p} partitions are empty",
+                file=sys.stderr,
+            )
         part_pad = max(PART_ALIGN, -(-max(max_size, 1) // PART_ALIGN) * PART_ALIGN)
         rows = np.arange(part_pad, dtype=np.int64)[None, :]
         last = np.maximum(self.sizes, 1)[:, None] - 1

@@ -32,7 +32,8 @@ from qadc_tpu.kernels.lut_scan import (
     build_scan8_tables,
     lut_scan_reduce,
     lut_scan8_reduce,
-    lut_scan_topk_int8,
+    slots_to_rows,
+    window_slots,
 )
 from qadc_tpu.kernels.scan_ref import adc_scan_f32, scan_topk_f32, scan_topk_int8
 from qadc_tpu.ops.quantization import (
@@ -118,6 +119,64 @@ def _exact_rerank(tables, cand_codes, sq_bits: int):
     return jnp.sum(gathered, axis=-1)
 
 
+def window_search_rows(
+    codes_rows, labels_flat, size, vals, rank_tables, r, wq,
+    exact_screen, block_n, window, clamp127: bool = False,
+):
+    """Select top windows from kernel minima, expand, rank (one code range).
+
+    The flat analog of the grouped IVF tail (index.ivf.window_rerank with one
+    partition): window SELECTION is exact lax.top_k when exact_screen (then
+    the result is the exact top-r under rank_tables — a code outside the
+    top-wq windows is beaten by wq better codes), approx_min_k otherwise
+    (a float rerank absorbs the screening approximation). Also used per-shard
+    by dist.sharded (codes_rows = the local shard, size = its valid count).
+
+    Args:
+      codes_rows: (n_pad/cpr, 128) uint8 ROW128 storage.
+      labels_flat: (n_pad,) int32 result labels.
+      size: valid code count in this range (int or scalar array).
+      vals: (C, Qp) per-window minima from the scan kernel.
+      rank_tables: (Q, M, 16) float tables to rank the expansion with.
+    """
+    from qadc_tpu.index.ivf import window_rerank
+
+    q = rank_tables.shape[0]
+    cb = rank_tables.shape[1] // 2
+    cpr = 128 // cb
+    n_pad = codes_rows.shape[0] * cpr
+    c = n_pad // window
+    vals_t = vals.T[:q].astype(jnp.float32)                    # (Q, C)
+    win_ids = jnp.arange(c, dtype=jnp.int32)
+    all_rows = slots_to_rows(window_slots(win_ids, block_n, window), block_n, cb)
+    has_valid = jnp.min(all_rows, axis=1)[None, :] < size
+    vals_t = jnp.where(has_valid, vals_t, jnp.inf)
+    if exact_screen:
+        neg, sel = jax.lax.top_k(-vals_t, wq)
+        screen_v = -neg
+    else:
+        screen_v, sel = screen_smallest(vals_t, wq)
+    sel_part = jnp.zeros((q, wq), jnp.int32)
+    sel_pair = jnp.broadcast_to(jnp.arange(q, dtype=jnp.int32)[:, None], (q, wq))
+    sel_sz = jnp.broadcast_to(jnp.asarray(size, jnp.int32), (q, wq))
+    return window_rerank(
+        codes_rows, labels_flat, n_pad,
+        rank_tables.reshape(q, 1, *rank_tables.shape[1:]),
+        screen_v, sel_part, sel_pair, sel, sel_sz, r, block_n, window,
+        clamp127=clamp127,
+    )
+
+
+def _flat_window_search(
+    index, vals, rank_tables, r, wq, exact_screen, block_n, window,
+    clamp127: bool = False,
+):
+    return window_search_rows(
+        index.codes, index.labels, index.n, vals, rank_tables, r, wq,
+        exact_screen, block_n, window, clamp127=clamp127,
+    )
+
+
 def decode_rows(pq: ProductQuantizer, idx):
     """PQ reconstruction via per-sub-quantizer ROW gathers.
 
@@ -198,8 +257,8 @@ def _search_adc_recon(index: FlatIndex, queries, r: int):
     return jax.lax.fori_loop(0, n_pad // chunk, body, init)
 
 
-@partial(jax.jit, static_argnames=("r",))
-def search_adc(index: FlatIndex, queries, r: int = 100):
+@partial(jax.jit, static_argnames=("r", "interpret"))
+def search_adc(index: FlatIndex, queries, r: int = 100, interpret: bool = False):
     """Conventional float ADC search.
 
     On TPU the scan runs as a Pallas one-hot kernel (4-bit: int tables become
@@ -210,6 +269,7 @@ def search_adc(index: FlatIndex, queries, r: int = 100):
     Args:
       queries: (Q, dim) float32.
       r: results per query.
+      interpret: run the Pallas kernel path in interpret mode (tests on CPU).
 
     Returns:
       (dists (Q, r) float32 ascending, labels (Q, r) int32).
@@ -220,20 +280,31 @@ def search_adc(index: FlatIndex, queries, r: int = 100):
     tables = adc_tables(rotated, index.pq.centroids)  # (Q, M, K)
     n_pad = index.n_pad
     cb = index.pq.code_size
-    on_tpu = jax.default_backend() == "tpu"
+    on_tpu = jax.default_backend() == "tpu" or interpret
     enough = n_pad // DEFAULT_WINDOW >= 8 * r
 
     if on_tpu and enough and index.pq.sq_bits == 4 and index.pq.sq_count in (16, 32) \
             and n_pad % DEFAULT_BLOCK_N == 0:
+        window = min(index.cpr, DEFAULT_WINDOW)
         tlo, thi = build_scan_tables(tables)
-        vals, rows = lut_scan_reduce(
+        vals, _ = lut_scan_reduce(
             index.codes, tlo.astype(jnp.float32), thi.astype(jnp.float32),
-            cb=cb, acc_dtype_name="float32",
+            cb=cb, window=window, acc_dtype_name="float32", interpret=interpret,
         )
-    elif on_tpu and enough and index.pq.sq_bits == 8 and n_pad % 256 == 0 \
+        # Exact-screen window expansion: a code outside the top-2r windows is
+        # beaten by 2r better codes; the expansion is ranked with exact-f32
+        # rows_adc, so results are exact top-r (the kernel's bf16-pass matmul
+        # affects only which windows are selected, with a 2x margin).
+        wq = min(2 * r, n_pad // window)
+        return _flat_window_search(
+            index, vals, tables, r, wq, True, DEFAULT_BLOCK_N, window
+        )
+    if on_tpu and enough and index.pq.sq_bits == 8 and n_pad % 256 == 0 \
             and 128 % cb == 0:
         t8 = build_scan8_tables(tables)
-        vals, rows = lut_scan8_reduce(index.codes, t8, m=index.pq.sq_count)
+        vals, rows = lut_scan8_reduce(
+            index.codes, t8, m=index.pq.sq_count, interpret=interpret
+        )
     else:
         packed = row128_to_codes(index.codes, cb)
         return scan_topk_f32(
@@ -258,9 +329,10 @@ def _prefix_size(n: int, keep: float) -> int:
     return max(1, int(n * keep))
 
 
-@partial(jax.jit, static_argnames=("r", "keep", "rerank"))
+@partial(jax.jit, static_argnames=("r", "keep", "rerank", "interpret", "saturate"))
 def search_qadc(
-    index: FlatIndex, queries, r: int = 100, keep: float = 0.01, rerank: bool = True
+    index: FlatIndex, queries, r: int = 100, keep: float = 0.01,
+    rerank: bool = True, interpret: bool = False, saturate: bool = False,
 ):
     """Quick-ADC search (sq_bits must be 4; db_query_4.cpp:393-402).
 
@@ -270,6 +342,9 @@ def search_qadc(
       improvement over the reference: screening stays int8-cheap, but the
       final ranking uses exact float ADC distances, recovering the recall the
       per-entry int8 truncation loses. Costs one tiny gather+matmul per batch.
+    saturate: reproduce the reference's saturating int8 accumulation exactly
+      (simd_scan.hpp:161): entries are >= 0, so min(sum, 127) equals the
+      sequential saturated sum — valid through the kernel's window-min too.
 
     Returns:
       (dists (Q, r) float32, labels (Q, r) int32). Distances are float ADC
@@ -303,25 +378,43 @@ def search_qadc(
     # pool after window reduction is comfortably larger than r; small indexes
     # use the jnp path (already fast at that size).
     use_kernel = (
-        jax.default_backend() == "tpu"
+        (jax.default_backend() == "tpu" or interpret)
         and index.pq.sq_count in (16, 32)
         and n_pad % DEFAULT_BLOCK_N == 0
         and n_pad // DEFAULT_WINDOW >= 8 * r
     )
 
-    def _screen(k):
-        if use_kernel:
-            return lut_scan_topk_int8(index.codes, qtables, k, index.n, cb=cb)
-        packed = row128_to_codes(index.codes, cb)
-        return scan_topk_int8(
-            packed, index.labels, qtables, k, num_valid=index.n
+    if use_kernel:
+        # Window-expansion tail (see _flat_window_search): int8 kernel window
+        # minima select windows; every code of a winning window is ranked.
+        # rerank=True ranks with exact f32 tables (recall recovery); False
+        # ranks with the quantized tables — EXACT reference-style top-r by
+        # quantized distance (top-r windows by min provably contain it).
+        window = min(cpr, DEFAULT_WINDOW)
+        tlo, thi = build_scan_tables(qtables)
+        vals, _ = lut_scan_reduce(
+            index.codes, tlo, thi, cb=cb, window=window, interpret=interpret
+        )
+        if saturate:
+            # Entries >= 0: window-min of saturating sums == min(min, 127).
+            vals = jnp.minimum(vals, 127)
+        wq = min((2 if rerank else 1) * r, n_pad // window)
+        rank_tables = tables if rerank else qtables.astype(jnp.float32)
+        return _flat_window_search(
+            index, vals, rank_tables, r, wq, not rerank, DEFAULT_BLOCK_N, window,
+            clamp127=saturate and not rerank,
         )
 
+    packed = row128_to_codes(index.codes, cb)
     if not rerank:
-        return _screen(r)
-
+        return scan_topk_int8(
+            packed, index.labels, qtables, r, num_valid=index.n,
+            saturate=saturate,
+        )
     rr = min(2 * r, n_pad)
-    screen_v, cand = _screen(rr)
+    screen_v, cand = scan_topk_int8(
+        packed, index.labels, qtables, rr, num_valid=index.n, saturate=saturate
+    )
     # Flat labels are row ids, so candidates gather directly.
     cand_codes = gather_codes_row128(index.codes, cand, cb)   # (Q, rr, cb)
     fd = _exact_rerank(tables, cand_codes, 4)

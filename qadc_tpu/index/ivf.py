@@ -221,10 +221,10 @@ def search_adc(index: IVFIndex, queries, r: int = 100, ma: int = 1):
     return vals, labs
 
 
-@partial(jax.jit, static_argnames=("r", "ma", "keep", "prefix_pad", "rerank"))
+@partial(jax.jit, static_argnames=("r", "ma", "keep", "prefix_pad", "rerank", "saturate"))
 def _search_qadc_impl(
     index: IVFIndex, queries, r: int, ma: int, keep: float, prefix_pad: int,
-    rerank: bool,
+    rerank: bool, saturate: bool = False,
 ):
     # Shared front half: assign, tables, keep-prefix bound (db_query_4.cpp:
     # 230-242), QuantizerMAX int8 quantize (db_query_4.cpp:256-284).
@@ -250,7 +250,12 @@ def _search_qadc_impl(
         qt = jax.lax.dynamic_index_in_dim(qtflat, ass_i, 1, keepdims=False)
         acc = jnp.einsum(
             "qsf,qf->qs", ohc, qt, preferred_element_type=jnp.int32
-        ).astype(jnp.float32)
+        )
+        if saturate:
+            # Reference saturating-int8 adds (simd_scan.hpp:161): entries are
+            # >= 0, so the sequential saturated sum == min(sum, 127).
+            acc = jnp.minimum(acc, 127)
+        acc = acc.astype(jnp.float32)
         sz = jax.lax.dynamic_index_in_dim(sizes, ass_i, 1, keepdims=True)
         col = jnp.arange(index.part_pad, dtype=jnp.int32)
         d = jnp.where(col[None, :] < sz, acc, jnp.inf)
@@ -380,12 +385,12 @@ def _quantized_tables(index, queries, r, ma, keep, prefix_pad):
 @partial(
     jax.jit,
     static_argnames=("r", "ma", "keep", "prefix_pad", "rerank", "group_size",
-                     "window", "interpret", "block_n"),
+                     "window", "interpret", "block_n", "saturate"),
 )
 def _search_qadc_grouped_impl(
     index: IVFIndex, queries, r: int, ma: int, keep: float, prefix_pad: int,
     rerank: bool, group_size: int, window: int, interpret: bool,
-    block_n: int = 2048,
+    block_n: int = 2048, saturate: bool = False,
 ):
     """Partition-grouped Quick-ADC IVF search (Pallas kernel path).
 
@@ -448,6 +453,9 @@ def _search_qadc_grouped_impl(
         vals.reshape(gcap, c, g).transpose(0, 2, 1).reshape(gcap * g, c)
     )
     cv = vals_rows[qa_g * g + qa_s].astype(jnp.float32)   # (QA, C)
+    if saturate:
+        # Entries >= 0, so window-min of saturating sums == min(min, 127).
+        cv = jnp.minimum(cv, 127.0)
     p_of_pair = parts.reshape(qa)
     sz = index.part_sizes[p_of_pair]                      # (QA,)
     win_ids = jnp.arange(c, dtype=jnp.int32)
@@ -462,7 +470,14 @@ def _search_qadc_grouped_impl(
     # Q x 2r x W instead of Q x ma x r x W).
     wq = min(2 * r, ma * c)
     cv_q = cv.reshape(q, ma * c)
-    screen_v, selq = screen_smallest(cv_q, wq)              # (Q, wq) into ma*C
+    if rerank:
+        screen_v, selq = screen_smallest(cv_q, wq)          # (Q, wq) into ma*C
+    else:
+        # Reference-style ranking must be EXACT top-r by quantized distance:
+        # exact window selection (top-wq windows by min with wq >= r provably
+        # contain the true top-r) + exact ranking of the full expansion.
+        neg, selq = jax.lax.top_k(-cv_q, wq)
+        screen_v = -neg
     sel_ai = selq // c                                     # assignment index
     sel_wi = selq % c                                      # window in partition
     sel_pair = jnp.arange(q, dtype=jnp.int32)[:, None] * ma + sel_ai  # (Q, wq)
@@ -474,13 +489,14 @@ def _search_qadc_grouped_impl(
         tw_src, screen_v, sel_part, sel_pair, sel_wi,
         jnp.take_along_axis(sz.reshape(q, ma), sel_ai, axis=1),
         r, block_n, window, tiles=tiles if rerank else None,
+        clamp127=saturate and not rerank,
     )
 
 
 def window_rerank(
     codes_rows, labels_flat, part_pad: int,
     tables_qa, screen_v, sel_part, sel_pair, sel_wi, sel_sz,
-    r: int, block_n: int, window: int, tiles=None,
+    r: int, block_n: int, window: int, tiles=None, clamp127: bool = False,
 ):
     """Expand winning windows to their codes and rank by exact float distance.
 
@@ -535,6 +551,10 @@ def window_rerank(
     tlo_full, thi_full = tiles
     pair = sel_pair.reshape(a)
     cvf = rows_adc(rows, tlo_full[pair], thi_full[pair], cb)   # (A, cpr)
+    if clamp127:
+        # Saturating-int8 reference semantics (simd_scan.hpp:161): table
+        # entries are >= 0, so sequential saturating adds == min(sum, 127).
+        cvf = jnp.minimum(cvf, 127.0)
 
     c_iota = jnp.arange(cpr, dtype=jnp.int32)
     alive = (
@@ -550,6 +570,7 @@ def search_qadc(
     index: IVFIndex, queries, r: int = 100, ma: int = 1, keep: float = 0.01,
     rerank: bool = True, grouped: bool | None = None, group_size: int = 64,
     grouped_window: int | None = None, interpret: bool = False,
+    saturate: bool = False,
 ):
     """Quick-ADC IVF search (reference: db_query_4.cpp; requires sq_bits==4).
 
@@ -558,6 +579,10 @@ def search_qadc(
     quantized distance.
     grouped: use the partition-grouped Pallas kernel path (default: on TPU
     when geometry allows).
+    saturate: reproduce the reference's saturating int8 accumulation exactly
+    (simd_scan.hpp:161) — quantized sums clamp at 127. Entries are >= 0, so
+    min(sum, 127) equals the sequential saturated sum; works through the
+    Pallas kernel path (the clamp composes with the window-min reduction).
 
     Returns (dists (Q, r) float32, labels (Q, r) int32).
     """
@@ -578,6 +603,8 @@ def search_qadc(
     if grouped:
         return _search_qadc_grouped_impl(
             index, queries, r, ma, keep, prefix_pad, rerank,
-            group_size, grouped_window, interpret,
+            group_size, grouped_window, interpret, saturate=saturate,
         )
-    return _search_qadc_impl(index, queries, r, ma, keep, prefix_pad, rerank)
+    return _search_qadc_impl(
+        index, queries, r, ma, keep, prefix_pad, rerank, saturate=saturate
+    )

@@ -29,7 +29,9 @@ def test_engine_flat_qadc(built):
     assert d.shape == (21, 100) and l.shape == (21, 100)  # tail batch unpadded
     assert recall_at_r(l, gt) > 0.85
     avg = metrics.averaged()
-    assert avg.scan_us > 0 and avg.table_us > 0
+    # Cumulative-difference attribution: scan strictly positive; front phases
+    # can difference to 0 at this tiny scale (sub-noise on CPU), never below.
+    assert avg.scan_us > 0 and avg.table_us >= 0 and avg.rotate_us >= 0
     row = metrics.csv_row()
     assert len(row.split(",")) == 4
 

@@ -58,6 +58,28 @@ def test_grouped_no_rerank(built):
     assert rec > 0.5, rec
 
 
+def test_grouped_no_rerank_exact(built):
+    """rerank=False grouped path == exact top-r by quantized distance.
+
+    The jnp path (_search_qadc_impl, exact per-partition top_k + exact merge)
+    is the oracle; the grouped path's exact window selection + full expansion
+    must produce identical quantized distances (labels may swap within ties).
+    """
+    index, queries, gt = built
+    for saturate in (False, True):
+        d1, _ = ivf.search_qadc(
+            index, queries, r=20, ma=6, keep=0.05, grouped=False, rerank=False,
+            saturate=saturate,
+        )
+        d2, _ = ivf.search_qadc(
+            index, queries, r=20, ma=6, keep=0.05, grouped=True, interpret=True,
+            rerank=False, saturate=saturate,
+        )
+        np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
+        if saturate:
+            assert np.asarray(d2).max() <= 127.0
+
+
 def _repad(index, part_pad: int):
     """Re-pad an index's partitions to a target part_pad (tail-repeat quirk)."""
     p = index.part_count

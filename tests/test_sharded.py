@@ -61,6 +61,35 @@ def test_flat_sharded_qadc_matches_single(setup):
     np.testing.assert_allclose(np.asarray(d1)[:, 0], np.asarray(d2)[:, 0], rtol=1e-4)
 
 
+def test_flat_sharded_qadc_kernel_path(setup):
+    """Pallas kernel-per-shard path (interpret on the CPU mesh) vs jnp path."""
+    index, base, queries = setup
+    mesh = make_mesh()
+    sharded = shard_flat_codes(index, mesh)
+    d1, l1 = search_qadc_flat_sharded(
+        sharded, queries, r=50, keep=0.02, mesh=mesh, use_kernel=False
+    )
+    d2, l2 = search_qadc_flat_sharded(
+        sharded, queries, r=50, keep=0.02, mesh=mesh,
+        use_kernel=True, interpret=True,
+    )
+    l1, l2 = np.asarray(l1), np.asarray(l2)
+    for qi in range(l1.shape[0]):
+        overlap = len(set(l1[qi]) & set(l2[qi]))
+        assert overlap >= 38, (qi, overlap)
+    np.testing.assert_allclose(np.asarray(d1)[:, 0], np.asarray(d2)[:, 0], rtol=1e-4)
+    # Exact no-rerank semantics must agree exactly across paths.
+    d3, _ = search_qadc_flat_sharded(
+        sharded, queries, r=50, keep=0.02, mesh=mesh, use_kernel=False,
+        rerank=False,
+    )
+    d4, _ = search_qadc_flat_sharded(
+        sharded, queries, r=50, keep=0.02, mesh=mesh,
+        use_kernel=True, interpret=True, rerank=False,
+    )
+    np.testing.assert_array_equal(np.asarray(d3), np.asarray(d4))
+
+
 def test_query_parallel_flat(setup):
     index, base, queries = setup
     mesh = make_mesh()
