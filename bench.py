@@ -1,21 +1,23 @@
-"""Benchmark: Quick-ADC 4-bit LUT scan throughput on one TPU chip.
+"""Benchmark: Quick-ADC on one TPU chip — prints ONE JSON line.
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "detail": {...}}
 
 Headline metric: code-query pairs scanned per second by the Pallas LUT-scan
 kernel on the flagship config (SIFT1M-scale: 1M codes, 16x4 PQ = 8-byte codes,
-128-query batch, window-16 reduction + exact top-k) — the TPU analog of the
-reference's scan phase.
+128-query batch, window-16 reduction) — the TPU analog of the reference's scan
+phase. Baseline: the reference's AVX2 scan rate derived from its published
+IVF-256 SIFT1M numbers (README.md:329-330): scan 86 us/query over ma=24
+partitions of ~3906 codes => ~93,750 codes / 86 us = 1.09e9 cq pairs/s.
 
-Baseline: the reference's AVX2 scan rate derived from its published IVF-256
-SIFT1M numbers (README.md:329-330): scan 86 us/query over ma=24 partitions of
-~3906 codes => ~93,750 codes / 86 us = 1.09e9 code-query pairs/s (single query
-per pass, one core). vs_baseline = ours / 1.09e9.
+detail carries the BASELINE.md scorecard: IVF-256 ma=24 r=100 end-to-end
+us/query at batch 128/32/1 (reference total: ~120 us/query), QPS and
+recall@100 on a trained synthetic corpus, and speed-of-light ratios (HBM
+byte-bound and int8-MXU formulation-bound).
 
-Timing is honest under the axon relay: calls are chained (each iteration's
-tables depend on the previous output) and a scalar readback fences the chain —
-plain block_until_ready over the relay does NOT wait for device execution.
+Timing is honest under the axon relay: iterations are chained inside one jit
+(data dependence), a scalar readback fences the call, and per-iteration time
+is the SLOPE over two chain lengths — the relay's ~8 ms fixed per-call cost
+cancels (see qadc_tpu/eval/timing.py).
 """
 
 import json
@@ -23,94 +25,63 @@ import time
 
 import numpy as np
 
+from qadc_tpu.eval.timing import slope_seconds
 
 REFERENCE_SCAN_CQ_PER_S = 93_750 / 86e-6  # ~1.09e9, README.md:329-330
+HBM_GBPS = 819.0          # v5e
+MXU_INT8_TOPS = 394.0     # v5e
 
 
-def main():
+def _bench_kernel(rng):
+    """Flat 4-bit LUT-scan kernel: 1M codes x 128 queries, production path."""
     import jax
     import jax.numpy as jnp
-    from qadc_tpu.kernels.lut_scan import build_scan_tables, lut_scan_reduce
+    from qadc_tpu.kernels.lut_scan import (
+        build_scan_tables, lut_scan_reduce, pick_block_n,
+    )
 
-    rng = np.random.default_rng(0)
     n, m, q = 1_048_576, 16, 128
-    codes = jnp.asarray(
-        rng.integers(0, 256, size=(n // 16, 128), dtype=np.uint8)
-    )  # ROW128 storage (16 codes/row)
-    qtables = jnp.asarray(
-        rng.integers(0, 127, size=(q, m, 16)).astype(np.int8)
-    )
+    codes = jnp.asarray(rng.integers(0, 256, size=(n // 16, 128), dtype=np.uint8))
+    qtables = jnp.asarray(rng.integers(0, 127, size=(q, m, 16)).astype(np.int8))
     tlo, thi = build_scan_tables(qtables)
+    bn = pick_block_n(n)
 
-    k_inner = 16
+    def time_call(k):
+        @jax.jit
+        def chained(codes, prev, tlo, thi):
+            # codes passed as an ARGUMENT: closing over device arrays would
+            # embed them as HLO constants (slow remote compiles at scale).
+            for _ in range(k):
+                d = (prev[0:1, 0:1] & 1).astype(jnp.int8)
+                vals, _ = lut_scan_reduce(codes, tlo + d, thi, cb=8, block_n=bn)
+                prev = vals
+            return prev
 
-    @jax.jit
-    def chained(codes, prev, tlo, thi):
-        # codes passed as an ARGUMENT: closing over device arrays would embed
-        # them as HLO constants (slow remote compiles at scale).
-        for _ in range(k_inner):
-            d = (prev[0:1, 0:1] & 1).astype(jnp.int8)
-            vals, rows = lut_scan_reduce(codes, tlo + d, thi, cb=8)
-            prev = vals
-        return prev
+        zero = jnp.zeros((n // 16, tlo.shape[1]), jnp.int32)
+        prev = chained(codes, zero, tlo, thi)
+        _ = float(prev[0, 0])
+        iters = 3
+        t0 = time.time()
+        for _ in range(iters):
+            prev = chained(codes, prev, tlo, thi)
+        _ = float(prev[0, 0])
+        return (time.time() - t0) / iters
 
-    zero = jnp.zeros((n // 16, tlo.shape[1]), jnp.int32)
-    prev = chained(codes, zero, tlo, thi)
-    _ = float(prev[0, 0])  # warmup + fence
-
-    iters = 4
-    t0 = time.time()
-    for _ in range(iters):
-        prev = chained(codes, prev, tlo, thi)
-    _ = float(prev[0, 0])  # fence
-    dt = (time.time() - t0) / (iters * k_inner)
-
-    cq_per_s = n * q / dt
-
-    # --- End-to-end IVF-256 Quick-ADC search (the reference's headline
-    # config: SIFT1M geometry, ma=24, r=100), synthetic codes.
-    ivf_us_per_query = _bench_ivf_e2e(rng)
-
-    print(
-        json.dumps(
-            {
-                "metric": "qadc4_scan_throughput_1Mcodes_q128",
-                "value": cq_per_s,
-                "unit": "code-query pairs/s/chip",
-                "vs_baseline": cq_per_s / REFERENCE_SCAN_CQ_PER_S,
-                "detail": {
-                    "scan_ms_per_1M_codes_q128": dt * 1e3,
-                    "us_per_query_per_1M_codes": dt * 1e6 / q,
-                    "codes_GBps": n * (m // 2) / dt / 1e9,
-                    "ivf256_ma24_r100_us_per_query_e2e": ivf_us_per_query,
-                    "ivf_vs_reference_total_120us": 120.0 / ivf_us_per_query,
-                    "backend": jax.default_backend(),
-                },
-            }
-        )
-    )
+    dt = slope_seconds(time_call)
+    return n, q, m, dt
 
 
-def _bench_ivf_e2e(rng):
-    """Full IVF search per-query latency (SIFT1M-like geometry, batch 128).
-
-    Reference comparison: IVF-256 SIFT1M OPQ 16x4 Quick ADC at ma=24 totals
-    ~120 us/query (index 7 + rotate 13 + table 14 + scan 86, README.md:329-330).
-    """
-    import jax
+def _make_ivf(rng):
     import jax.numpy as jnp
-    from qadc_tpu.index import ivf
     from qadc_tpu.index.ivf import IVFIndex
     from qadc_tpu.quantizers.pq import ProductQuantizer
 
-    dim, parts, part_pad, m, q, ma = 128, 256, 4096, 16, 128, 24
+    dim, parts, part_pad, m = 128, 256, 4096, 16
     pq = ProductQuantizer(
-        centroids=jnp.asarray(
-            rng.normal(size=(m, 16, dim // m)).astype(np.float32)
-        ),
+        centroids=jnp.asarray(rng.normal(size=(m, 16, dim // m)).astype(np.float32)),
         sq_bits=4,
     )
-    index = IVFIndex(
+    return IVFIndex(
         pq=pq,
         coarse_centroids=jnp.asarray(rng.normal(size=(parts, dim)).astype(np.float32)),
         codes=jnp.asarray(
@@ -123,25 +94,146 @@ def _bench_ivf_e2e(rng):
         n=parts * 3906,
         max_part_size=3906,
     )
-    queries = jnp.asarray(rng.normal(size=(q, dim)).astype(np.float32))
 
-    k_inner = 8
 
-    @jax.jit
-    def chained(idx, qs):
-        tap = jnp.float32(0)
-        for _ in range(k_inner):
-            d, _ = ivf.search_qadc(idx, qs + tap * 1e-12, r=100, ma=ma, keep=0.005)
-            tap = d.sum()
-        return tap
+def _bench_ivf_e2e(rng, index, batch, k_lo=4, k_hi=16):
+    """Full IVF Quick-ADC search us/query (SIFT1M geometry, given batch).
 
-    _ = float(chained(index, queries))
-    iters = 3
-    t0 = time.time()
-    for _ in range(iters):
+    Reference: IVF-256 SIFT1M OPQ 16x4 Quick ADC ma=24 totals ~120 us/query
+    (index 7 + rotate 13 + table 14 + scan 86, README.md:329-330; batch 32).
+    """
+    import jax
+    import jax.numpy as jnp
+    from qadc_tpu.index import ivf
+
+    queries = jnp.asarray(rng.normal(size=(batch, 128)).astype(np.float32))
+
+    def time_call(k):
+        @jax.jit
+        def chained(idx, qs):
+            tap = jnp.float32(0)
+            for _ in range(k):
+                d, _ = ivf.search_qadc(idx, qs + tap * 1e-12, r=100, ma=24, keep=0.005)
+                tap = d.sum()
+            return tap
+
         _ = float(chained(index, queries))
-    dt = (time.time() - t0) / (iters * k_inner)
-    return dt * 1e6 / q
+        iters = 3
+        t0 = time.time()
+        for _ in range(iters):
+            _ = float(chained(index, queries))
+        return (time.time() - t0) / iters
+
+    dt = slope_seconds(time_call, k_lo=k_lo, k_hi=k_hi)
+    return dt * 1e6 / batch
+
+
+def _bench_recall_qps(rng):
+    """Trained-index recall@100 + QPS on correlated synthetic (quick: 256k)."""
+    import jax
+    import jax.numpy as jnp
+    from qadc_tpu.eval.recall import recall_at_r
+    from qadc_tpu.index import ivf
+    from qadc_tpu.ops.knn import assign_nearest, exact_knn
+    from qadc_tpu.quantizers.pq import train_pq
+
+    n, dim, nq = 262_144, 128, 128
+    latent = 64
+    a_mix = rng.normal(size=(latent, dim)).astype(np.float32)
+    base = rng.normal(size=(n, latent)).astype(np.float32) @ a_mix \
+        + rng.normal(size=(n, dim)).astype(np.float32) * 0.4
+    queries = rng.normal(size=(nq, latent)).astype(np.float32) @ a_mix \
+        + rng.normal(size=(nq, dim)).astype(np.float32) * 0.4
+    _, gt = exact_knn(queries, base, 1)
+    gt = np.asarray(gt)
+
+    coarse = ivf.train_coarse(jax.random.PRNGKey(1), base[:100_000], 256, iters=20)
+    a = np.asarray(assign_nearest(base[:100_000], coarse))
+    pq_r = train_pq(
+        jax.random.PRNGKey(2), base[:100_000] - np.asarray(coarse)[a], 16, 4, iters=20
+    )
+    index = ivf.add(ivf.IVFIndex.create(pq_r, coarse), base)
+    ma, keep, r = 24, 0.005, 100
+
+    d, l = ivf.search_qadc(index, jnp.asarray(queries), r=r, ma=ma, keep=keep)
+    rec = recall_at_r(np.asarray(l), gt)
+    # Float-ADC on the SAME index: isolates the 4-bit Quick-ADC cost from the
+    # index/codebook quality (the reference's published delta is 0.022).
+    _, l8 = ivf.search_adc(index, jnp.asarray(queries), r=r, ma=ma)
+    rec_f = recall_at_r(np.asarray(l8), gt)
+
+    qd = jnp.asarray(queries)
+
+    def time_call(k):
+        @jax.jit
+        def chained(idx, qs):
+            tap = jnp.float32(0)
+            for _ in range(k):
+                dd, _ = ivf.search_qadc(idx, qs + tap * 1e-12, r=r, ma=ma, keep=keep)
+                tap = dd.sum()
+            return tap
+
+        _ = float(chained(index, qd))
+        iters = 3
+        t0 = time.time()
+        for _ in range(iters):
+            _ = float(chained(index, qd))
+        return (time.time() - t0) / iters
+
+    dt = slope_seconds(time_call, k_lo=4, k_hi=16)
+    return rec, rec_f, nq / dt
+
+
+def main():
+    import jax
+
+    rng = np.random.default_rng(0)
+
+    n, q, m, dt = _bench_kernel(rng)
+    cq_per_s = n * q / dt
+    code_bytes_per_s = n * (m // 2) / dt
+
+    # Speed-of-light ratios. HBM-bound: scan reads n*cb bytes once per query
+    # batch => cb bytes/code. Formulation-bound: one-hot ADC needs K=2*16*cb
+    # int8 MACs per code-query pair on the MXU.
+    sol_hbm_s = n * (m // 2) / (HBM_GBPS * 1e9)
+    sol_mxu_s = 2.0 * n * q * (2 * 16 * (m // 2)) / (MXU_INT8_TOPS * 1e12)
+
+    ivf_index = _make_ivf(rng)
+    ivf_us_128 = _bench_ivf_e2e(rng, ivf_index, 128)
+    ivf_us_32 = _bench_ivf_e2e(rng, ivf_index, 32)
+    ivf_us_1 = _bench_ivf_e2e(rng, ivf_index, 1, k_lo=16, k_hi=144)
+
+    recall100, recall100_float, qps = _bench_recall_qps(rng)
+
+    print(
+        json.dumps(
+            {
+                "metric": "qadc4_scan_throughput_1Mcodes_q128",
+                "value": cq_per_s,
+                "unit": "code-query pairs/s/chip",
+                "vs_baseline": cq_per_s / REFERENCE_SCAN_CQ_PER_S,
+                "detail": {
+                    "scan_ms_per_1M_codes_q128": dt * 1e3,
+                    "us_per_query_per_1M_codes": dt * 1e6 / q,
+                    "codes_GBps": code_bytes_per_s / 1e9,
+                    "pct_of_hbm_byte_SoL": 100.0 * sol_hbm_s / dt,
+                    "pct_of_int8_mxu_formulation_SoL": 100.0 * sol_mxu_s / dt,
+                    "ivf256_ma24_r100_us_per_query_e2e": ivf_us_128,
+                    "ivf256_ma24_r100_us_per_query_b32": ivf_us_32,
+                    "ivf256_ma24_r100_us_per_query_b1": ivf_us_1,
+                    "ivf_vs_reference_total_120us": 120.0 / ivf_us_128,
+                    "ivf_b32_vs_reference_total_120us": 120.0 / ivf_us_32,
+                    "trained_ivf_recall_at_100": recall100,
+                    "trained_ivf_float_adc_recall_at_100": recall100_float,
+                    "trained_ivf_qadc_recall_delta": recall100_float - recall100,
+                    "trained_ivf_qps_per_chip_b128": qps,
+                    "backend": jax.default_backend(),
+                    "timing": "slope-fit chained (relay fixed cost cancelled)",
+                },
+            }
+        )
+    )
 
 
 if __name__ == "__main__":

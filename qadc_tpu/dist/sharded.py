@@ -112,9 +112,11 @@ def search_qadc_flat_sharded(
         DEFAULT_WINDOW,
         build_scan_tables,
         lut_scan_reduce,
+        pick_block_n,
     )
 
     window = min(cpr, DEFAULT_WINDOW)
+    bn = pick_block_n(local_rows) if local_rows % DEFAULT_BLOCK_N == 0 else DEFAULT_BLOCK_N
     if use_kernel is None:
         use_kernel = (
             jax.default_backend() == "tpu"
@@ -137,14 +139,15 @@ def search_qadc_flat_sharded(
             from qadc_tpu.index.flat import window_search_rows
 
             vals, _ = lut_scan_reduce(
-                codes_local, tlo, thi, cb=cb, window=window, interpret=interpret
+                codes_local, tlo, thi, cb=cb, block_n=bn, window=window,
+                interpret=interpret,
             )
             local_size = jnp.clip(n_real - offset, 0, local_rows)
             rank_t = tf.reshape(q, m, 16) if rerank else qt.astype(jnp.float32)
             cv, cl = window_search_rows(
                 codes_local, glabels, local_size, vals, rank_t, rr,
                 min(rr, local_rows // window), not rerank,
-                DEFAULT_BLOCK_N, window,
+                bn, window,
             )
         else:
             packed_local = row128_to_codes(codes_local, cb)

@@ -32,6 +32,7 @@ from qadc_tpu.kernels.lut_scan import (
     build_scan8_tables,
     lut_scan_reduce,
     lut_scan8_reduce,
+    pick_block_n,
     slots_to_rows,
     window_slots,
 )
@@ -286,10 +287,12 @@ def search_adc(index: FlatIndex, queries, r: int = 100, interpret: bool = False)
     if on_tpu and enough and index.pq.sq_bits == 4 and index.pq.sq_count in (16, 32) \
             and n_pad % DEFAULT_BLOCK_N == 0:
         window = min(index.cpr, DEFAULT_WINDOW)
+        bn = pick_block_n(n_pad)
         tlo, thi = build_scan_tables(tables)
         vals, _ = lut_scan_reduce(
             index.codes, tlo.astype(jnp.float32), thi.astype(jnp.float32),
-            cb=cb, window=window, acc_dtype_name="float32", interpret=interpret,
+            cb=cb, block_n=bn, window=window, acc_dtype_name="float32",
+            interpret=interpret,
         )
         # Exact-screen window expansion: a code outside the top-2r windows is
         # beaten by 2r better codes; the expansion is ranked with exact-f32
@@ -297,7 +300,7 @@ def search_adc(index: FlatIndex, queries, r: int = 100, interpret: bool = False)
         # affects only which windows are selected, with a 2x margin).
         wq = min(2 * r, n_pad // window)
         return _flat_window_search(
-            index, vals, tables, r, wq, True, DEFAULT_BLOCK_N, window
+            index, vals, tables, r, wq, True, bn, window
         )
     if on_tpu and enough and index.pq.sq_bits == 8 and n_pad % 256 == 0 \
             and 128 % cb == 0:
@@ -391,9 +394,11 @@ def search_qadc(
         # ranks with the quantized tables — EXACT reference-style top-r by
         # quantized distance (top-r windows by min provably contain it).
         window = min(cpr, DEFAULT_WINDOW)
+        bn = pick_block_n(n_pad)
         tlo, thi = build_scan_tables(qtables)
         vals, _ = lut_scan_reduce(
-            index.codes, tlo, thi, cb=cb, window=window, interpret=interpret
+            index.codes, tlo, thi, cb=cb, block_n=bn, window=window,
+            interpret=interpret,
         )
         if saturate:
             # Entries >= 0: window-min of saturating sums == min(min, 127).
@@ -401,7 +406,7 @@ def search_qadc(
         wq = min((2 if rerank else 1) * r, n_pad // window)
         rank_tables = tables if rerank else qtables.astype(jnp.float32)
         return _flat_window_search(
-            index, vals, rank_tables, r, wq, not rerank, DEFAULT_BLOCK_N, window,
+            index, vals, rank_tables, r, wq, not rerank, bn, window,
             clamp127=saturate and not rerank,
         )
 

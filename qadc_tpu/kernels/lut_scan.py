@@ -40,8 +40,21 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-DEFAULT_BLOCK_N = 1024   # codes per kernel block
+DEFAULT_BLOCK_N = 1024   # codes per kernel block (minimum geometry gate)
+MAX_BLOCK_N = 8192       # measured best on v5e (fewer grid steps, same VMEM fit)
 DEFAULT_WINDOW = 16
+
+
+def pick_block_n(n_pad: int, cap: int = MAX_BLOCK_N) -> int:
+    """Largest power-of-two block <= cap dividing n_pad (>= DEFAULT_BLOCK_N).
+
+    blk=8192 measured ~30% faster than 1024 at 1M codes (fewer grid steps);
+    callers gate on n_pad % DEFAULT_BLOCK_N == 0 and then upgrade via this.
+    """
+    bn = DEFAULT_BLOCK_N
+    while bn * 2 <= cap and n_pad % (bn * 2) == 0:
+        bn *= 2
+    return bn
 
 
 def _deinterleave(raw, cb: int):
@@ -167,6 +180,47 @@ def _accumulate_rows(raw, cb, tlo, thi, jpat_ref, e_ref, acc_dtype):
     return acc + jnp.dot(oh_hi, thi, preferred_element_type=acc_dtype)
 
 
+def _accumulate_rows_int8(raw, cb, tlo, thi, jpat_ref, e_ref, acc_dtype):
+    """int8 MXU accumulate: int8 selector matmuls + int8 one-hot matmuls.
+
+    Same math as _accumulate_rows, but the expansion matmuls run int8 x int8
+    -> int32 (2x the bf16 MXU rate on v5e) and the compares stay integer (no
+    f32 round trips). Measured 1M x 128q m=16: 0.41 ms vs 0.56 ms for the
+    bf16 variant (slope-fit timing; see docs/kernels.md).
+
+    For float tables (acc_dtype f32) the expansion still runs int8; only the
+    accumulation matmuls use f32 one-hots against the f32 tables.
+    """
+    cpr = 128 // cb
+    lanes = cb * 16
+    r32 = raw.astype(jnp.int32)
+    lo_raw = (r32 & 0x0F).astype(jnp.int8)        # (R, 128) nibble values
+    hi_raw = (r32 >> 4).astype(jnp.int8)
+    e = e_ref[...].astype(jnp.int8)
+    rep_lo = jnp.concatenate(
+        [
+            jnp.dot(lo_raw, e[c * 128 : (c + 1) * 128, :],
+                    preferred_element_type=jnp.int32)
+            for c in range(cpr)
+        ],
+        axis=0,
+    )                                             # (BLK, lanes) slot order
+    rep_hi = jnp.concatenate(
+        [
+            jnp.dot(hi_raw, e[c * 128 : (c + 1) * 128, :],
+                    preferred_element_type=jnp.int32)
+            for c in range(cpr)
+        ],
+        axis=0,
+    )
+    jp = jpat_ref[0:1, :].astype(jnp.int32)
+    oh_dtype = jnp.int8 if acc_dtype == jnp.int32 else jnp.float32
+    oh_lo = (rep_lo == jp).astype(oh_dtype)
+    oh_hi = (rep_hi == jp).astype(oh_dtype)
+    acc = jnp.dot(oh_lo, tlo, preferred_element_type=acc_dtype)
+    return acc + jnp.dot(oh_hi, thi, preferred_element_type=acc_dtype)
+
+
 def _window_min(acc, window: int):
     """Strided window min over slots: window g = slots {g, g+G, 2G+g, ...}."""
     blk = acc.shape[0]
@@ -177,12 +231,23 @@ def _window_min(acc, window: int):
     return m
 
 
+def _scan_min_kernel(
+    codes_ref, tlo_ref, thi_ref, jpat_ref, e_ref, vals_ref,
+    *, window, acc_dtype, cb, accfn,
+):
+    """Flat scan block: window minima only (callers expand winning windows)."""
+    acc = accfn(
+        codes_ref[...], cb, tlo_ref[...], thi_ref[...], jpat_ref, e_ref, acc_dtype
+    )
+    vals_ref[...] = _window_min(acc, window)
+
+
 def _scan_kernel(
     codes_ref, tlo_ref, thi_ref, jpat_ref, e_ref, vals_ref, idx_ref,
-    *, window, acc_dtype, cb,
+    *, window, acc_dtype, cb, accfn=_accumulate_rows,
 ):
     """Flat scan block: window minima + arg-slot ids."""
-    acc = _accumulate_rows(
+    acc = accfn(
         codes_ref[...], cb, tlo_ref[...], thi_ref[...], jpat_ref, e_ref, acc_dtype
     )
     blk = acc.shape[0]
@@ -203,7 +268,11 @@ def _scan_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cb", "block_n", "window", "interpret", "acc_dtype_name")
+    jax.jit,
+    static_argnames=(
+        "cb", "block_n", "window", "interpret", "acc_dtype_name", "variant",
+        "with_rows",
+    ),
 )
 def lut_scan_reduce(
     codes_rows,
@@ -214,6 +283,8 @@ def lut_scan_reduce(
     window: int = DEFAULT_WINDOW,
     interpret: bool = False,
     acc_dtype_name: str = "int32",
+    variant: str = "int8",
+    with_rows: bool = False,
 ):
     """Scan all codes; return per-window candidates (vals, code ROW ids).
 
@@ -223,9 +294,15 @@ def lut_scan_reduce(
       tables_lo/hi: ((M/2)*16, Qp) int8 (int32 acc) or float32 (f32 acc).
       cb: code bytes (M/2 for 4-bit).
       window: reduction window W (candidates = N_pad/W per query).
+      variant: "int8" = int8 selector + int8 one-hot matmuls (default, 2x MXU
+        rate on v5e); "bf16" = bf16 expansion + int8/f32 accumulate.
+      with_rows: also emit arg-min code ROW ids per window (costs ~15 extra
+        select passes + one output stream; window-expansion callers don't
+        need rows).
 
     Returns:
-      (vals (N_pad/W, Qp), rows (N_pad/W, Qp) int32 global code rows).
+      (vals (N_pad/W, Qp), rows (N_pad/W, Qp) int32 global code rows —
+       None when with_rows=False).
     """
     cpr = 128 // cb
     n_pad = codes_rows.shape[0] * cpr
@@ -242,20 +319,43 @@ def lut_scan_reduce(
     r16 = block_n // cpr
     grid = (n_pad // block_n,)
     e, jpat = _expand_consts(cb)
+    accfn = _accumulate_rows_int8 if variant == "int8" else _accumulate_rows
+
+    in_specs = [
+        pl.BlockSpec((r16, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((lanes, qp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((lanes, qp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((8, lanes), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((cpr * 128, lanes), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    cost = pl.CostEstimate(
+        flops=2 * 2 * n_pad * lanes * qp,
+        bytes_accessed=n_pad * cb + 2 * lanes * qp + 2 * (n_pad // window) * qp * 4,
+        transcendentals=0,
+    )
+    if not with_rows:
+        kernel = functools.partial(
+            _scan_min_kernel, window=window, acc_dtype=acc_dtype, cb=cb,
+            accfn=accfn,
+        )
+        vals = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((g, qp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((n_pad // window, qp), acc_dtype),
+            interpret=interpret,
+            cost_estimate=cost,
+        )(codes_rows, tables_lo, tables_hi, jpat, e)
+        return vals, None
 
     kernel = functools.partial(
-        _scan_kernel, window=window, acc_dtype=acc_dtype, cb=cb
+        _scan_kernel, window=window, acc_dtype=acc_dtype, cb=cb, accfn=accfn
     )
     vals, slots = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((r16, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((lanes, qp), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((lanes, qp), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, lanes), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((cpr * 128, lanes), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((g, qp), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((g, qp), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -265,11 +365,7 @@ def lut_scan_reduce(
             jax.ShapeDtypeStruct((n_pad // window, qp), jnp.int32),
         ],
         interpret=interpret,
-        cost_estimate=pl.CostEstimate(
-            flops=2 * 2 * n_pad * lanes * qp,
-            bytes_accessed=n_pad * cb + 2 * lanes * qp + 2 * (n_pad // window) * qp * 4,
-            transcendentals=0,
-        ),
+        cost_estimate=cost,
     )(codes_rows, tables_lo, tables_hi, jpat, e)
     return vals, slots_to_rows(slots, block_n, cb)
 
@@ -283,7 +379,7 @@ def _grouped_scan_kernel(
     windows (see window_rerank), which removes arg bookkeeping and makes
     quantization ties harmless.
     """
-    acc = _accumulate_rows(
+    acc = _accumulate_rows_int8(
         codes_ref[...], cb, tlo_ref[...], thi_ref[...], jpat_ref, e_ref, acc_dtype
     )
     vals_ref[...] = _window_min(acc, window)
@@ -521,7 +617,7 @@ def lut_scan_topk_int8(
     tlo, thi = build_scan_tables(qtables)
     vals, rows = lut_scan_reduce(
         codes_rows, tlo, thi, cb=cb, block_n=block_n, window=window,
-        interpret=interpret,
+        interpret=interpret, with_rows=True,
     )
     # Mask candidates from padded rows (window minima can come from padding).
     from qadc_tpu.ops.topk import screen_smallest

@@ -68,7 +68,8 @@ def test_kernel_matches_reference_scan(rng):
     tlo, thi = build_scan_tables(jnp.asarray(qt))
     rows128 = jnp.asarray(to_row128(packed))
     vals, rows = lut_scan_reduce(
-        rows128, tlo, thi, cb=8, block_n=1024, window=16, interpret=True
+        rows128, tlo, thi, cb=8, block_n=1024, window=16, interpret=True,
+        with_rows=True,
     )
     vals, rows = np.asarray(vals), np.asarray(rows)
     assert vals.shape == (4096 // 16, 128)
@@ -114,6 +115,32 @@ def test_kernel_topk_matches_exact(rng):
                 got.remove(v)
                 kept += 1
         assert kept >= r - 12, (qi, kept)
+
+
+@pytest.mark.parametrize("m", [16, 32])
+@pytest.mark.parametrize("variant", ["bf16", "int8"])
+def test_kernel_variants_match(rng, m, variant):
+    """bf16 and int8 expansion variants agree exactly, and the min-only path
+    (with_rows=False) matches the full path's vals."""
+    packed, qt = _setup(rng, n=2048, m=m, q=3)
+    full = np.asarray(adc_scan_int8(packed, jnp.asarray(qt), saturate=False))
+    tlo, thi = build_scan_tables(jnp.asarray(qt))
+    rows128 = jnp.asarray(to_row128(packed))
+    vals, rows = lut_scan_reduce(
+        rows128, tlo, thi, cb=m // 2, block_n=512, window=8, interpret=True,
+        variant=variant, with_rows=True,
+    )
+    want = _sim_window_min(full, 512, 8, m // 2)
+    np.testing.assert_array_equal(np.asarray(vals)[:, :3], want[:, :3])
+    for g in range(0, vals.shape[0], 29):
+        for qi in range(3):
+            assert full[qi, np.asarray(rows)[g, qi]] == np.asarray(vals)[g, qi]
+    vals_min, none_rows = lut_scan_reduce(
+        rows128, tlo, thi, cb=m // 2, block_n=512, window=8, interpret=True,
+        variant=variant, with_rows=False,
+    )
+    assert none_rows is None
+    np.testing.assert_array_equal(np.asarray(vals_min), np.asarray(vals))
 
 
 @pytest.mark.parametrize("m", [16, 32])
