@@ -153,11 +153,11 @@ def main():
     stages = [front, route, slabs, kern, winsel, rerank]
     names = ["front", "route", "slabs", "kernel", "winsel", "rerank"]
 
-    def make_prefix_fn(k):
+    def make_prefix_fn(k, k_inner):
         @jax.jit
         def run(idx, qs):
             tap = jnp.float32(0)
-            for _ in range(args.k_inner):
+            for _ in range(k_inner):
                 st, t = front(idx, qs + tap * 1e-12)
                 tap = t
                 for s in stages[1:k]:
@@ -166,16 +166,20 @@ def main():
             return tap
         return run
 
+    from qadc_tpu.eval.timing import slope_seconds
+
     results = {}
     for k in range(1, len(stages) + 1):
-        fn = make_prefix_fn(k)
-        out = fn(index, queries)
-        _ = float(out)  # warmup + fence
-        t0 = time.time()
-        for _ in range(args.iters):
-            out = fn(index, queries)
-        _ = float(out)
-        dt = (time.time() - t0) / (args.iters * args.k_inner)
+        def time_call(k_inner, k=k):
+            fn = make_prefix_fn(k, k_inner)
+            _ = float(fn(index, queries))  # warmup + fence
+            t0 = time.time()
+            for _ in range(args.iters):
+                out = fn(index, queries)
+            _ = float(out)
+            return (time.time() - t0) / args.iters
+
+        dt = slope_seconds(time_call, k_lo=args.k_inner, k_hi=args.k_inner * 4)
         results[names[k - 1]] = dt
         print(f"prefix through {names[k-1]:8s}: {dt*1e3:8.3f} ms/batch "
               f"({dt*1e6/q:7.2f} us/query)")

@@ -7,7 +7,8 @@ Produces the SURVEY §6 north-star metrics:
   - query-parallel scaling over available devices
 
 Run: python benchmarks/run_bench.py [--small]
-Timing is honest under the axon relay (dependency-chained, scalar readback).
+Timing: slope-fit over two in-jit chain lengths (eval/timing.py) — the axon
+relay charges ~8 ms fixed per jit call, which the slope cancels.
 """
 
 from __future__ import annotations
@@ -18,18 +19,33 @@ import time
 
 import numpy as np
 
+from qadc_tpu.eval.timing import slope_seconds
 
-def timed_chain(fn, args_fn, iters=5):
-    """Honest amortized seconds/call: chain iterations via a scalar tap."""
+
+def timed_chain(search, index, queries, k_lo=4, k_hi=16, iters=3):
+    """Honest seconds per search call: slope over two in-jit chain lengths.
+
+    search: (index, queries) -> (dists, labels), jittable.
+    """
     import jax
+    import jax.numpy as jnp
 
-    out = fn(*args_fn(0.0))
-    tap = float(np.asarray(jax.tree.leaves(out)[0]).ravel()[0])
-    t0 = time.time()
-    for i in range(iters):
-        out = fn(*args_fn(tap * 1e-12))
-        tap = float(np.asarray(jax.tree.leaves(out)[0]).ravel()[0])
-    return (time.time() - t0) / iters
+    def time_call(k):
+        @jax.jit
+        def chained(idx, qs):
+            tap = jnp.float32(0)
+            for _ in range(k):
+                d, _ = search(idx, qs + tap * 1e-12)
+                tap = d.sum()
+            return tap
+
+        _ = float(chained(index, queries))
+        t0 = time.time()
+        for _ in range(iters):
+            _ = float(chained(index, queries))
+        return (time.time() - t0) / iters
+
+    return slope_seconds(time_call, k_lo=k_lo, k_hi=k_hi)
 
 
 def make_data(rng, n, dim, nq, n_centers=256):
@@ -79,21 +95,19 @@ def main():
 
     qd = jnp.asarray(queries)
 
-    def run_flat(eps):
-        return flat.search_qadc(findex, qd + eps, r=100, keep=keep)
-
-    dt = timed_chain(run_flat, lambda eps: (eps,))
+    dt = timed_chain(
+        lambda idx, qs: flat.search_qadc(idx, qs, r=100, keep=keep), findex, qd
+    )
     results["flat_qadc_us_per_query"] = dt * 1e6 / nq
     results["flat_qadc_qps_per_chip"] = nq / dt
     results["flat_scan_code_queries_per_s"] = n * nq / dt
 
     # --- flat float ADC (reference baseline path)
-    def run_flat_adc(eps):
-        return flat.search_adc(findex, qd + eps, r=100)
-
-    d, l = run_flat_adc(0.0)
+    d, l = flat.search_adc(findex, qd, r=100)
     results["flat_adc_recall@100"] = recall_at_r(np.asarray(l), gt)
-    dt = timed_chain(run_flat_adc, lambda eps: (eps,))
+    dt = timed_chain(
+        lambda idx, qs: flat.search_adc(idx, qs, r=100), findex, qd
+    )
     results["flat_adc_us_per_query"] = dt * 1e6 / nq
 
     # --- IVF-256 Quick ADC (the reference's headline config)
@@ -110,15 +124,23 @@ def main():
     d, l = ivf.search_qadc(iindex, queries, r=100, ma=ma, keep=keep_ivf)
     results["ivf_qadc_recall@100"] = recall_at_r(np.asarray(l), gt)
 
-    def run_ivf(eps):
-        return ivf.search_qadc(iindex, qd + eps, r=100, ma=ma, keep=keep_ivf)
-
-    dt = timed_chain(run_ivf, lambda eps: (eps,))
+    run_ivf = lambda idx, qs: ivf.search_qadc(idx, qs, r=100, ma=ma, keep=keep_ivf)
+    dt = timed_chain(run_ivf, iindex, qd)
     results["ivf_qadc_us_per_query"] = dt * 1e6 / nq
     results["ivf_qadc_qps_per_chip"] = nq / dt
 
     # Reference comparison (README.md:329-330: total ~120us/query, scan 86us)
     results["vs_reference_ivf_total_120us"] = 120.0 / results["ivf_qadc_us_per_query"]
+
+    # --- per-query latency vs batch size (reference's -b flag; b=1 is its
+    # default engine, b=32 its published config)
+    for b in (1, 32, 128, 512):
+        qb = jnp.asarray(
+            np.tile(queries, (-(-b // nq), 1))[:b]
+        )
+        k_lo, k_hi = (16, 96) if b == 1 else (4, 16)
+        dtb = timed_chain(run_ivf, iindex, qb, k_lo=k_lo, k_hi=k_hi)
+        results[f"ivf_qadc_us_per_query_b{b}"] = dtb * 1e6 / b
 
     if args.json:
         print(json.dumps(results))

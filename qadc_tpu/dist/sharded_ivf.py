@@ -141,7 +141,8 @@ def _search_impl(
             jnp.arange(qa, dtype=jnp.int32)[:, None]
             .repeat(ppr, axis=1).reshape(qa * ppr)
         )
-        pd = rows_adc(rows, tlo_full[pair_of_row], thi_full[pair_of_row], cb)
+        pd = rows_adc(rows, tlo_full[pair_of_row], thi_full[pair_of_row], cb,
+                      interpret=interpret)
         pd = pd.reshape(q, ma, ppr * cpr)
         col = jnp.arange(ppr * cpr, dtype=jnp.int32)
         valid = (col[None, None, :] < starts_sizes[:, :, None]) & owned[:, :, None]
@@ -208,7 +209,7 @@ def _search_impl(
         lv, ll = window_rerank(
             codes_l.reshape(-1, 128), labels_l.reshape(-1), part_pad,
             tables_g, screen_v, sel_part, sel_pair, sel_wi, sel_sz,
-            r, block_n, window, tiles=tiles,
+            r, block_n, window, tiles=tiles, interpret=interpret,
         )
 
         # ---- merge across shards.

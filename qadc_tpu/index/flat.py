@@ -123,6 +123,7 @@ def _exact_rerank(tables, cand_codes, sq_bits: int):
 def window_search_rows(
     codes_rows, labels_flat, size, vals, rank_tables, r, wq,
     exact_screen, block_n, window, clamp127: bool = False,
+    interpret: bool = False,
 ):
     """Select top windows from kernel minima, expand, rank (one code range).
 
@@ -164,17 +165,17 @@ def window_search_rows(
         codes_rows, labels_flat, n_pad,
         rank_tables.reshape(q, 1, *rank_tables.shape[1:]),
         screen_v, sel_part, sel_pair, sel, sel_sz, r, block_n, window,
-        clamp127=clamp127,
+        clamp127=clamp127, interpret=interpret,
     )
 
 
 def _flat_window_search(
     index, vals, rank_tables, r, wq, exact_screen, block_n, window,
-    clamp127: bool = False,
+    clamp127: bool = False, interpret: bool = False,
 ):
     return window_search_rows(
         index.codes, index.labels, index.n, vals, rank_tables, r, wq,
-        exact_screen, block_n, window, clamp127=clamp127,
+        exact_screen, block_n, window, clamp127=clamp127, interpret=interpret,
     )
 
 
@@ -300,7 +301,7 @@ def search_adc(index: FlatIndex, queries, r: int = 100, interpret: bool = False)
         # affects only which windows are selected, with a 2x margin).
         wq = min(2 * r, n_pad // window)
         return _flat_window_search(
-            index, vals, tables, r, wq, True, bn, window
+            index, vals, tables, r, wq, True, bn, window, interpret=interpret
         )
     if on_tpu and enough and index.pq.sq_bits == 8 and n_pad % 256 == 0 \
             and 128 % cb == 0:
@@ -407,7 +408,7 @@ def search_qadc(
         rank_tables = tables if rerank else qtables.astype(jnp.float32)
         return _flat_window_search(
             index, vals, rank_tables, r, wq, not rerank, bn, window,
-            clamp127=saturate and not rerank,
+            clamp127=saturate and not rerank, interpret=interpret,
         )
 
     packed = row128_to_codes(index.codes, cb)

@@ -280,47 +280,59 @@ def _search_qadc_impl(
 
 
 def tile_tables_rows(tables_qa3):
-    """Tile per-pair float tables to the ROW128 byte-lane layout.
+    """Per-pair float tables in COMPACT j-major lane layout.
 
     Args:
       tables_qa3: (QA, M, 16) float32 per-(query, assignment) tables.
 
     Returns:
-      (tlo_full, thi_full): each (QA, 16*128) f32 where lane j*128 + c*cb + b
-      holds table[sq 2b (lo) / 2b+1 (hi), centroid j] — the layout matched by
-      a (A, 128) packed-codes row, so per-code distances are a 16-iteration
-      select-accumulate over full-lane 2-D tensors (see rows_adc).
+      (tlo_c, thi_c): each (QA, 16*cb) f32 where lane j*cb + b holds
+      table[sq 2b (lo) / 2b+1 (hi), centroid j]. COMPACT on purpose: the
+      rerank gathers one row per selected window, and gathering pre-tiled
+      (QA, 16*128) rows read+wrote ~420 MB/batch at SIFT1M geometry (measured
+      2.5 ms of a 3.4 ms batch); the compact rows are 16x smaller and the
+      tiling to byte lanes happens on-register in rows_adc.
     """
     qa, m, k = tables_qa3.shape
     assert k == 16
     cb = m // 2
-    cpr = 128 // cb
     tev = tables_qa3[:, 0::2, :].transpose(0, 2, 1)   # (QA, 16, cb) even sqs
     tod = tables_qa3[:, 1::2, :].transpose(0, 2, 1)
-    tlo_full = jnp.tile(tev, (1, 1, cpr)).reshape(qa, 16 * 128)
-    thi_full = jnp.tile(tod, (1, 1, cpr)).reshape(qa, 16 * 128)
-    return tlo_full, thi_full
+    return tev.reshape(qa, 16 * cb), tod.reshape(qa, 16 * cb)
 
 
-def rows_adc(rows, tlo_a, thi_a, cb: int):
+def rows_adc(rows, tlo_c, thi_c, cb: int, interpret: bool = False):
     """Exact float ADC distances for whole ROW128 storage rows.
+
+    On TPU (or interpret=True) the lane accumulation runs as a Pallas kernel
+    (kernels.lut_scan.rows_adc_accumulate): compact tables are tiled to byte
+    lanes in VMEM via roll+repeat — gathering pre-tiled (A, 16*128) rows
+    cost ~2.5 ms/batch (840 MB of HBM traffic) at SIFT1M geometry, and a jnp
+    concat-based tiling lowered to narrow-slice relayouts (~6x slower e2e).
 
     Args:
       rows: (A, 128) uint8 — packed 4-bit codes, cpr codes per row.
-      tlo_a/thi_a: (A, 16*128) f32 — per-row tables from tile_tables_rows,
-        already gathered to row granularity.
+      tlo_c/thi_c: (A, 16*cb) f32 — per-row COMPACT tables (lane j*cb + b)
+        from tile_tables_rows, already gathered to row granularity.
 
     Returns:
       (A, cpr) float32 distances, one per code in each row.
     """
     a = rows.shape[0]
     cpr = 128 // cb
-    lo = (rows & 0x0F).astype(jnp.int32)         # lane l = c*cb + b -> sq 2b
-    hi = (rows >> 4).astype(jnp.int32)           #                  -> sq 2b+1
-    acc = jnp.zeros((a, 128), jnp.float32)
-    for j in range(16):
-        acc = acc + jnp.where(lo == j, tlo_a[:, j * 128 : (j + 1) * 128], 0.0)
-        acc = acc + jnp.where(hi == j, thi_a[:, j * 128 : (j + 1) * 128], 0.0)
+    if jax.default_backend() == "tpu" or interpret:
+        from qadc_tpu.kernels.lut_scan import rows_adc_accumulate
+
+        acc = rows_adc_accumulate(rows, tlo_c, thi_c, cb=cb, interpret=interpret)
+    else:
+        lo = (rows & 0x0F).astype(jnp.int32)     # lane l = c*cb + b -> sq 2b
+        hi = (rows >> 4).astype(jnp.int32)       #                  -> sq 2b+1
+        acc = jnp.zeros((a, 128), jnp.float32)
+        for j in range(16):
+            tl = jnp.concatenate([tlo_c[:, j * cb : (j + 1) * cb]] * cpr, axis=1)
+            th = jnp.concatenate([thi_c[:, j * cb : (j + 1) * cb]] * cpr, axis=1)
+            acc = acc + jnp.where(lo == j, tl, 0.0)
+            acc = acc + jnp.where(hi == j, th, 0.0)
     # Per-code byte reduction as a tiny selector matmul (S[l, c] = l//cb == c);
     # HIGHEST keeps f32-exact sums (bf16 passes would perturb the ranking).
     s_mat = jnp.asarray(
@@ -329,7 +341,7 @@ def rows_adc(rows, tlo_a, thi_a, cb: int):
     return jnp.dot(acc, s_mat, precision=jax.lax.Precision.HIGHEST)
 
 
-def _quantized_tables(index, queries, r, ma, keep, prefix_pad):
+def _quantized_tables(index, queries, r, ma, keep, prefix_pad, interpret=False):
     """Shared front half: assign, tables, keep-prefix bound, int8 quantize.
 
     Returns (parts (Q, ma), tables f32 (Q, ma, M, 16), qtables int8,
@@ -364,7 +376,8 @@ def _quantized_tables(index, queries, r, ma, keep, prefix_pad):
         jnp.arange(qa, dtype=jnp.int32)[:, None]
         .repeat(ppr, axis=1).reshape(qa * ppr)
     )
-    pd = rows_adc(rows, tlo_full[pair_of_row], thi_full[pair_of_row], cb)
+    pd = rows_adc(rows, tlo_full[pair_of_row], thi_full[pair_of_row], cb,
+                  interpret=interpret)
     pd = pd.reshape(q, ma, ppr * cpr)
     col = jnp.arange(ppr * cpr, dtype=jnp.int32)
     valid = col[None, None, :] < starts_sizes[:, :, None]
@@ -406,7 +419,9 @@ def _search_qadc_grouped_impl(
         lut_scan_grouped_prefetch,
     )
 
-    parts, tables, qtables, tiles = _quantized_tables(index, queries, r, ma, keep, prefix_pad)
+    parts, tables, qtables, tiles = _quantized_tables(
+        index, queries, r, ma, keep, prefix_pad, interpret=interpret
+    )
     q = queries.shape[0]
     m = index.pq.sq_count
     qa = q * ma
@@ -489,7 +504,7 @@ def _search_qadc_grouped_impl(
         tw_src, screen_v, sel_part, sel_pair, sel_wi,
         jnp.take_along_axis(sz.reshape(q, ma), sel_ai, axis=1),
         r, block_n, window, tiles=tiles if rerank else None,
-        clamp127=saturate and not rerank,
+        clamp127=saturate and not rerank, interpret=interpret,
     )
 
 
@@ -497,6 +512,7 @@ def window_rerank(
     codes_rows, labels_flat, part_pad: int,
     tables_qa, screen_v, sel_part, sel_pair, sel_wi, sel_sz,
     r: int, block_n: int, window: int, tiles=None, clamp127: bool = False,
+    interpret: bool = False,
 ):
     """Expand winning windows to their codes and rank by exact float distance.
 
@@ -550,7 +566,8 @@ def window_rerank(
         tiles = tile_tables_rows(tables_qa.reshape(qa, m, 16))
     tlo_full, thi_full = tiles
     pair = sel_pair.reshape(a)
-    cvf = rows_adc(rows, tlo_full[pair], thi_full[pair], cb)   # (A, cpr)
+    cvf = rows_adc(rows, tlo_full[pair], thi_full[pair], cb,
+                   interpret=interpret)                             # (A, cpr)
     if clamp127:
         # Saturating-int8 reference semantics (simd_scan.hpp:161): table
         # entries are >= 0, so sequential saturating adds == min(sum, 127).

@@ -466,6 +466,80 @@ def lut_scan_grouped_prefetch(
     return vals
 
 
+def _rows_adc_kernel(rows_ref, tlo_ref, thi_ref, acc_ref, *, cb):
+    """Per-row float ADC accumulate: 128 lookups into each row's OWN table.
+
+    rows: (BLK, 128) u8 packed 4-bit codes (cpr codes/row); tlo/thi: (BLK,
+    16*cb) f32 COMPACT per-row tables (lane j*cb + b).
+
+    ROTATE-AND-SELECT gather: lane l = c*cb + b needs table lane
+    src = j*cb + b, so src - l is always a MULTIPLE OF cb — a full 128-lane
+    in-row gather reduces to cpr static rolls of the table with a masked
+    accumulate per roll ((j - c) mod cpr == dd selects the lanes each shift
+    serves). All full-lane ops: no narrow (BLK, cb) slices (pltpu.repeat of
+    one measured ~50x slower), no HBM-materialized tiled tables (gathering
+    pre-tiled (A, 16*128) rows cost ~2.5 ms/batch at SIFT1M geometry).
+    Tables wider than 128 lanes (cb=16) process as H=16*cb/128 halves.
+    """
+    cpr = 128 // cb
+    raw = rows_ref[...].astype(jnp.int32)
+    lo = raw & 0x0F
+    hi = raw >> 4
+    lanes_t = tlo_ref.shape[1]
+    h_count = lanes_t // 128
+
+    c_lane = jax.lax.broadcasted_iota(jnp.int32, lo.shape, 1) // cb  # code pos
+    acc = jnp.zeros(lo.shape, jnp.float32)
+    for h in range(h_count):
+        tlo_h = tlo_ref[:, h * 128 : (h + 1) * 128]
+        thi_h = thi_ref[:, h * 128 : (h + 1) * 128]
+        lo_h = lo - h * cpr                      # in [0, cpr) when in half h
+        hi_h = hi - h * cpr
+        lo_in = (lo_h >= 0) & (lo_h < cpr)
+        hi_in = (hi_h >= 0) & (hi_h < cpr)
+        for dd in range(cpr):
+            # roll(t, -dd*cb)[l] = t[(l + dd*cb) % 128] = t[(c+dd)%cpr*cb + b]
+            take_lo = lo_in & ((lo_h - c_lane) % cpr == dd)
+            take_hi = hi_in & ((hi_h - c_lane) % cpr == dd)
+            acc = (
+                acc
+                + jnp.where(take_lo, tlo_h, 0.0)
+                + jnp.where(take_hi, thi_h, 0.0)
+            )
+            if dd + 1 < cpr:
+                tlo_h = pltpu.roll(tlo_h, 128 - cb, axis=1)
+                thi_h = pltpu.roll(thi_h, 128 - cb, axis=1)
+    acc_ref[...] = acc
+
+
+@functools.partial(jax.jit, static_argnames=("cb", "interpret"))
+def rows_adc_accumulate(rows, tlo_c, thi_c, cb: int = 8, interpret: bool = False):
+    """(A, 128) u8 rows + (A, 16*cb) f32 compact tables -> (A, 128) f32 lane
+    sums (lane l = c*cb + b holds T[2b or 2b+1][nibble]); callers reduce bytes
+    per code with a selector matmul. Pads A to the block size internally."""
+    a = rows.shape[0]
+    lanes_t = 16 * cb
+    blk = 512
+    a_pad = -(-a // blk) * blk
+    if a_pad != a:
+        rows = jnp.pad(rows, [(0, a_pad - a), (0, 0)])
+        tlo_c = jnp.pad(tlo_c, [(0, a_pad - a), (0, 0)])
+        thi_c = jnp.pad(thi_c, [(0, a_pad - a), (0, 0)])
+    acc = pl.pallas_call(
+        functools.partial(_rows_adc_kernel, cb=cb),
+        grid=(a_pad // blk,),
+        in_specs=[
+            pl.BlockSpec((blk, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((blk, lanes_t), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((blk, lanes_t), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((blk, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((a_pad, 128), jnp.float32),
+        interpret=interpret,
+    )(rows, tlo_c, thi_c)
+    return acc[:a]
+
+
 def window_slots(window_ids, block_n: int, window: int):
     """Expand window ids to the SLOTS they cover.
 
