@@ -236,7 +236,7 @@ def _search_impl(
 
 def search_qadc_ivf_sharded(
     index: IVFIndex, queries, r: int = 100, ma: int = 1, keep: float = 0.01,
-    mesh=None, group_size: int = 64, window: int | None = None,
+    mesh=None, group_size: int = 128, window: int | None = None,
     interpret: bool = False,
 ):
     """Quick-ADC search over a partition-sharded IVFIndex.

@@ -585,7 +585,7 @@ def window_rerank(
 
 def search_qadc(
     index: IVFIndex, queries, r: int = 100, ma: int = 1, keep: float = 0.01,
-    rerank: bool = True, grouped: bool | None = None, group_size: int = 64,
+    rerank: bool = True, grouped: bool | None = None, group_size: int = 128,
     grouped_window: int | None = None, interpret: bool = False,
     saturate: bool = False,
 ):
