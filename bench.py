@@ -14,18 +14,19 @@ us/query at batch 128/32/1 (reference total: ~120 us/query), QPS and
 recall@100 on a trained synthetic corpus, and speed-of-light ratios (HBM
 byte-bound and int8-MXU formulation-bound).
 
-Timing is honest under the axon relay: iterations are chained inside one jit
-(data dependence), a scalar readback fences the call, and per-iteration time
-is the SLOPE over two chain lengths — the relay's ~8 ms fixed per-call cost
-cancels (see qadc_tpu/eval/timing.py).
+Timing is honest under the axon relay: iterations run in a device-side
+fori_loop chained through a scalar tap (data dependence), a scalar readback
+fences the call, and per-iteration time is the SLOPE over two chain lengths
+long enough that device time dwarfs the relay RTT — short unrolled chains
+measured up to 40% fast because the relay overlaps dispatch with execution
+(see qadc_tpu/eval/timing.py:fori_slope_seconds).
 """
 
 import json
-import time
 
 import numpy as np
 
-from qadc_tpu.eval.timing import slope_seconds
+from qadc_tpu.eval.timing import fori_slope_seconds
 
 REFERENCE_SCAN_CQ_PER_S = 93_750 / 86e-6  # ~1.09e9, README.md:329-330
 HBM_GBPS = 819.0          # v5e
@@ -46,28 +47,13 @@ def _bench_kernel(rng):
     tlo, thi = build_scan_tables(qtables)
     bn = pick_block_n(n)
 
-    def time_call(k):
-        @jax.jit
-        def chained(codes, prev, tlo, thi):
-            # codes passed as an ARGUMENT: closing over device arrays would
-            # embed them as HLO constants (slow remote compiles at scale).
-            for _ in range(k):
-                d = (prev[0:1, 0:1] & 1).astype(jnp.int8)
-                vals, _ = lut_scan_reduce(codes, tlo + d, thi, cb=8, block_n=bn)
-                prev = vals
-            return prev
+    def body(args, tap):
+        codes_, tlo_, thi_ = args
+        d = (tap.astype(jnp.int32) & 1).astype(jnp.int8)
+        vals, _ = lut_scan_reduce(codes_, tlo_ + d, thi_, cb=8, block_n=bn)
+        return vals[0, 0].astype(jnp.float32)
 
-        zero = jnp.zeros((n // 16, tlo.shape[1]), jnp.int32)
-        prev = chained(codes, zero, tlo, thi)
-        _ = float(prev[0, 0])
-        iters = 3
-        t0 = time.time()
-        for _ in range(iters):
-            prev = chained(codes, prev, tlo, thi)
-        _ = float(prev[0, 0])
-        return (time.time() - t0) / iters
-
-    dt = slope_seconds(time_call)
+    dt = fori_slope_seconds(body, (codes, tlo, thi), k_lo=30, k_hi=150)
     return n, q, m, dt
 
 
@@ -96,35 +82,24 @@ def _make_ivf(rng):
     )
 
 
-def _bench_ivf_e2e(rng, index, batch, k_lo=4, k_hi=16):
+def _bench_ivf_e2e(rng, index, batch, k_lo=20, k_hi=100):
     """Full IVF Quick-ADC search us/query (SIFT1M geometry, given batch).
 
     Reference: IVF-256 SIFT1M OPQ 16x4 Quick ADC ma=24 totals ~120 us/query
     (index 7 + rotate 13 + table 14 + scan 86, README.md:329-330; batch 32).
+    b=1 auto-selects the direct low-latency path (index/ivf.py).
     """
-    import jax
     import jax.numpy as jnp
     from qadc_tpu.index import ivf
 
     queries = jnp.asarray(rng.normal(size=(batch, 128)).astype(np.float32))
 
-    def time_call(k):
-        @jax.jit
-        def chained(idx, qs):
-            tap = jnp.float32(0)
-            for _ in range(k):
-                d, _ = ivf.search_qadc(idx, qs + tap * 1e-12, r=100, ma=24, keep=0.005)
-                tap = d.sum()
-            return tap
+    def body(args, tap):
+        idx, qs = args
+        d, _ = ivf.search_qadc(idx, qs + tap * 1e-12, r=100, ma=24, keep=0.005)
+        return d.sum()
 
-        _ = float(chained(index, queries))
-        iters = 3
-        t0 = time.time()
-        for _ in range(iters):
-            _ = float(chained(index, queries))
-        return (time.time() - t0) / iters
-
-    dt = slope_seconds(time_call, k_lo=k_lo, k_hi=k_hi)
+    dt = fori_slope_seconds(body, (index, queries), k_lo=k_lo, k_hi=k_hi)
     return dt * 1e6 / batch
 
 
@@ -164,23 +139,12 @@ def _bench_recall_qps(rng):
 
     qd = jnp.asarray(queries)
 
-    def time_call(k):
-        @jax.jit
-        def chained(idx, qs):
-            tap = jnp.float32(0)
-            for _ in range(k):
-                dd, _ = ivf.search_qadc(idx, qs + tap * 1e-12, r=r, ma=ma, keep=keep)
-                tap = dd.sum()
-            return tap
+    def body(args, tap):
+        idx, qs = args
+        dd, _ = ivf.search_qadc(idx, qs + tap * 1e-12, r=r, ma=ma, keep=keep)
+        return dd.sum()
 
-        _ = float(chained(index, qd))
-        iters = 3
-        t0 = time.time()
-        for _ in range(iters):
-            _ = float(chained(index, qd))
-        return (time.time() - t0) / iters
-
-    dt = slope_seconds(time_call, k_lo=4, k_hi=16)
+    dt = fori_slope_seconds(body, (index, qd), k_lo=20, k_hi=100)
     return rec, rec_f, nq / dt
 
 
@@ -202,7 +166,7 @@ def main():
     ivf_index = _make_ivf(rng)
     ivf_us_128 = _bench_ivf_e2e(rng, ivf_index, 128)
     ivf_us_32 = _bench_ivf_e2e(rng, ivf_index, 32)
-    ivf_us_1 = _bench_ivf_e2e(rng, ivf_index, 1, k_lo=16, k_hi=144)
+    ivf_us_1 = _bench_ivf_e2e(rng, ivf_index, 1, k_lo=100, k_hi=500)
 
     recall100, recall100_float, qps = _bench_recall_qps(rng)
 
@@ -229,7 +193,7 @@ def main():
                     "trained_ivf_qadc_recall_delta": recall100_float - recall100,
                     "trained_ivf_qps_per_chip_b128": qps,
                     "backend": jax.default_backend(),
-                    "timing": "slope-fit chained (relay fixed cost cancelled)",
+                    "timing": "device-side fori_loop chain, slope-fit (relay fixed cost cancelled)",
                 },
             }
         )

@@ -35,6 +35,46 @@ def slope_seconds(
     return max((t_hi - t_lo) / (k_hi - k_lo), 0.0)
 
 
+def fori_slope_seconds(
+    body: Callable, args, k_lo: int = 100, k_hi: int = 500, iters: int = 3
+):
+    """Per-iteration seconds via a DEVICE-SIDE fori_loop chain, slope-fit.
+
+    Stronger than the unrolled-chain slope for two reasons (both measured):
+    (1) the chain length k is a TRACED argument — one compile serves every k,
+    so chains can be long enough that device time dwarfs the relay RTT (the
+    unrolled variant underestimates when exec < RTT: the relay overlaps
+    dispatch with execution, hiding up to ~60% of short chains — a b=1
+    search measured 150 us/iter at k=16..48 vs its true 220 us); (2) no
+    per-iteration dispatch exists at all — the loop runs on device.
+
+    Args:
+      body: (args, tap scalar) -> new tap scalar; must make iteration i+1's
+        input depend on iteration i's output (chain through tap).
+      args: pytree of device arrays passed as jit ARGUMENTS (closing over
+        big arrays would embed them as HLO constants).
+    """
+    import jax
+    import jax.numpy as jnp
+    import time as _time
+
+    @jax.jit
+    def chained(a, k):
+        return jax.lax.fori_loop(
+            0, k, lambda i, tap: body(a, tap), jnp.float32(0)
+        )
+
+    def t(k):
+        _ = float(chained(args, k))  # warm + fence
+        t0 = _time.time()
+        for _ in range(iters):
+            _ = float(chained(args, k))
+        return (_time.time() - t0) / iters
+
+    t_lo, t_hi = t(k_lo), t(k_hi)
+    return max((t_hi - t_lo) / (k_hi - k_lo), 0.0)
+
+
 def make_time_call(build_chained: Callable[[int], Callable], run, iters: int = 3):
     """Standard time_call builder.
 

@@ -395,6 +395,76 @@ def _quantized_tables(index, queries, r, ma, keep, prefix_pad, interpret=False):
     return parts, tables, qtables, (tlo_full, thi_full)
 
 
+# Largest probed-code volume (qa * part_pad) routed to the direct exact path:
+# its float-table row gathers move ~512 B/row128-row, so it wins only while
+# everything stays small (b=1..4 at SIFT1M geometry — the latency regime).
+DIRECT_MAX_CODES = 600_000
+
+
+@partial(jax.jit, static_argnames=("r", "ma", "interpret"))
+def _search_qadc_direct_impl(
+    index: IVFIndex, queries, r: int, ma: int, interpret: bool = False,
+):
+    """Small-batch low-latency path: EXACT float ADC over all probed codes.
+
+    The reference's per-query engine (query_common.hpp:245-309, b=1 default
+    at db_query_4.cpp:331) exists because single-query latency matters; on
+    TPU the screened pipeline's ~10 stages cost ~200 us of fixed launch
+    latency at b=1. This path is 3 device stages: assign+tables, one
+    rows_adc Pallas scan of the ma probed partitions (each row ranked with
+    its own pair's float table), then approx_min_k screening of 2r
+    candidates + exact ranking (screen_smallest is the same PartialReduce
+    approximation the grouped path uses for window selection; a single-row
+    EXACT top-k costs 68 us on v5e — measured K-dominated, see
+    ops/topk.topk_smallest). Distances are exact float ADC; only the final
+    candidate screen is approximate.
+    """
+    parts, rot = assign_queries(index, queries, ma)
+    tables = adc_tables(rot, index.pq.centroids)         # (Q, ma, M, 16)
+    m = index.pq.sq_count
+    q = queries.shape[0]
+    qa = q * ma
+    cb = index.pq.code_size
+    cpr = index.cpr
+    rpp = index.part_pad // cpr                           # rows per partition
+    tlo, thi = tile_tables_rows(tables.reshape(qa, m, 16))
+    pflat = parts.reshape(qa)
+    if jax.default_backend() == "tpu" or interpret:
+        # Scan partitions in place (scalar-prefetch) — no row/table gathers.
+        from qadc_tpu.kernels.lut_scan import rows_adc_grouped_prefetch
+
+        acc = rows_adc_grouped_prefetch(
+            index.codes.reshape(-1, 128), pflat, tlo, thi, rpp, cb=cb,
+            interpret=interpret,
+        )
+        s_mat = jnp.asarray(
+            (np.arange(128)[:, None] // cb) == np.arange(cpr)[None, :],
+            jnp.float32,
+        )
+        d = jnp.dot(acc, s_mat, precision=jax.lax.Precision.HIGHEST)
+    else:
+        grow = (
+            pflat[:, None] * rpp + jnp.arange(rpp, dtype=jnp.int32)[None, :]
+        ).reshape(qa * rpp)
+        rows = index.codes.reshape(-1, 128)[grow]         # (QA*rpp, 128)
+        pair = jnp.repeat(jnp.arange(qa, dtype=jnp.int32), rpp)
+        d = rows_adc(rows, tlo[pair], thi[pair], cb, interpret=interpret)
+    d = d.reshape(q, ma * index.part_pad)                 # code order
+    lab = index.labels[pflat].reshape(q, ma * index.part_pad)
+    sz = index.part_sizes[parts]                          # (Q, ma)
+    col = jnp.arange(index.part_pad, dtype=jnp.int32)
+    valid = (col[None, None, :] < sz[:, :, None]).reshape(q, ma * index.part_pad)
+    d = jnp.where(valid, d, jnp.inf)
+    wq = min(2 * r, d.shape[1])
+    sv, si = screen_smallest(d, wq)
+    sl = jnp.take_along_axis(lab, si, axis=-1)
+    if r > wq:  # tiny probed volume: pad to the (Q, r) contract
+        sv = jnp.pad(sv, [(0, 0), (0, r - wq)], constant_values=jnp.inf)
+        sl = jnp.pad(sl, [(0, 0), (0, r - wq)])
+        return topk_smallest(sv, sl, r)
+    return topk_smallest(sv, sl, r)
+
+
 @partial(
     jax.jit,
     static_argnames=("r", "ma", "keep", "prefix_pad", "rerank", "group_size",
@@ -587,7 +657,7 @@ def search_qadc(
     index: IVFIndex, queries, r: int = 100, ma: int = 1, keep: float = 0.01,
     rerank: bool = True, grouped: bool | None = None, group_size: int = 128,
     grouped_window: int | None = None, interpret: bool = False,
-    saturate: bool = False,
+    saturate: bool = False, direct: bool | None = None,
 ):
     """Quick-ADC IVF search (reference: db_query_4.cpp; requires sq_bits==4).
 
@@ -600,11 +670,26 @@ def search_qadc(
     (simd_scan.hpp:161) — quantized sums clamp at 127. Entries are >= 0, so
     min(sum, 127) equals the sequential saturated sum; works through the
     Pallas kernel path (the clamp composes with the window-min reduction).
+    direct: small-batch low-latency path — exact float ADC over all probed
+    codes in 3 device stages (the TPU answer to the reference's per-query
+    b=1 engine, query_common.hpp:245-309). Default: on TPU when rerank is on,
+    saturate is off, and the probed volume is small (<= DIRECT_MAX_CODES).
+    Results rank by exact distance, so recall >= the screened pipeline's.
 
     Returns (dists (Q, r) float32, labels (Q, r) int32).
     """
     if index.pq.sq_bits != 4:
         raise ValueError("Quick ADC requires sq_bits == 4")
+    if direct is None:
+        direct = (
+            (jax.default_backend() == "tpu" or interpret)
+            and rerank
+            and not saturate
+            and index.pq.sq_count in (16, 32)
+            and queries.shape[0] * ma * index.part_pad <= DIRECT_MAX_CODES
+        )
+    if direct:
+        return _search_qadc_direct_impl(index, queries, r, ma, interpret=interpret)
     prefix_pad = max(1, int(index.max_part_size * keep)) if index.max_part_size else 1
     prefix_pad = min(prefix_pad, index.part_pad)
     if grouped_window is None:

@@ -33,6 +33,7 @@ Design points, all measured on v5e:
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -466,11 +467,12 @@ def lut_scan_grouped_prefetch(
     return vals
 
 
-def _rows_adc_kernel(rows_ref, tlo_ref, thi_ref, acc_ref, *, cb):
+def _rows_adc_body(raw_u8, tlo, thi, *, cb):
     """Per-row float ADC accumulate: 128 lookups into each row's OWN table.
 
-    rows: (BLK, 128) u8 packed 4-bit codes (cpr codes/row); tlo/thi: (BLK,
-    16*cb) f32 COMPACT per-row tables (lane j*cb + b).
+    raw_u8: (BLK, 128) u8 packed 4-bit codes (cpr codes/row); tlo/thi: (BLK
+    or 1, 16*cb) f32 COMPACT tables (lane j*cb + b) — a 1-row table
+    broadcasts over the block (per-group calling convention).
 
     ROTATE-AND-SELECT gather: lane l = c*cb + b needs table lane
     src = j*cb + b, so src - l is always a MULTIPLE OF cb — a full 128-lane
@@ -482,17 +484,17 @@ def _rows_adc_kernel(rows_ref, tlo_ref, thi_ref, acc_ref, *, cb):
     Tables wider than 128 lanes (cb=16) process as H=16*cb/128 halves.
     """
     cpr = 128 // cb
-    raw = rows_ref[...].astype(jnp.int32)
+    raw = raw_u8.astype(jnp.int32)
     lo = raw & 0x0F
     hi = raw >> 4
-    lanes_t = tlo_ref.shape[1]
+    lanes_t = tlo.shape[1]
     h_count = lanes_t // 128
 
     c_lane = jax.lax.broadcasted_iota(jnp.int32, lo.shape, 1) // cb  # code pos
     acc = jnp.zeros(lo.shape, jnp.float32)
     for h in range(h_count):
-        tlo_h = tlo_ref[:, h * 128 : (h + 1) * 128]
-        thi_h = thi_ref[:, h * 128 : (h + 1) * 128]
+        tlo_h = tlo[:, h * 128 : (h + 1) * 128]
+        thi_h = thi[:, h * 128 : (h + 1) * 128]
         lo_h = lo - h * cpr                      # in [0, cpr) when in half h
         hi_h = hi - h * cpr
         lo_in = (lo_h >= 0) & (lo_h < cpr)
@@ -509,7 +511,19 @@ def _rows_adc_kernel(rows_ref, tlo_ref, thi_ref, acc_ref, *, cb):
             if dd + 1 < cpr:
                 tlo_h = pltpu.roll(tlo_h, 128 - cb, axis=1)
                 thi_h = pltpu.roll(thi_h, 128 - cb, axis=1)
-    acc_ref[...] = acc
+    return acc
+
+
+def _rows_adc_kernel(rows_ref, tlo_ref, thi_ref, acc_ref, *, cb):
+    """Per-row tables: row i of the block uses table row i."""
+    acc_ref[...] = _rows_adc_body(rows_ref[...], tlo_ref[...], thi_ref[...], cb=cb)
+
+
+def _rows_adc_group_kernel(rows_ref, tlo_ref, thi_ref, acc_ref, *, cb):
+    """Per-group table: all block rows share table row 0 (broadcast)."""
+    acc_ref[...] = _rows_adc_body(
+        rows_ref[...], tlo_ref[0:1, :], thi_ref[0:1, :], cb=cb
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("cb", "interpret"))
@@ -538,6 +552,71 @@ def rows_adc_accumulate(rows, tlo_c, thi_c, cb: int = 8, interpret: bool = False
         interpret=interpret,
     )(rows, tlo_c, thi_c)
     return acc[:a]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("rows_per_part", "cb", "interpret")
+)
+def rows_adc_grouped_prefetch(
+    codes_rows, group_part, tlo_c, thi_c, rows_per_part: int, cb: int = 8,
+    interpret: bool = False,
+):
+    """Float ADC over whole partitions read IN PLACE (scalar prefetch).
+
+    Group i scans all rows_per_part row128 rows of partition group_part[i]
+    with its own compact table — the low-latency path's scan (one group per
+    (query, assignment) pair). Versus gathering rows + per-row tables to HBM
+    first (rows_adc_accumulate's calling convention): saves the (A, 128) u8
+    row gather and two (A, 16cb) f32 table gathers — 31 us of the b=1
+    latency budget at SIFT1M geometry.
+
+    Args:
+      codes_rows: (P * rows_per_part, 128) uint8 partition-major row128 codes.
+      group_part: (GCAP,) int32 partition scanned by each group.
+      tlo_c/thi_c: (GCAP, 16*cb) f32 compact tables (tile_tables_rows order).
+      rows_per_part: padded partition size in row128 ROWS (static).
+
+    Returns:
+      (GCAP * rows_per_part, 128) f32 lane sums, group-major; reduce bytes
+      per code with the selector matmul as for rows_adc_accumulate.
+    """
+    gcap = group_part.shape[0]
+    lanes_t = 16 * cb
+    blk = math.gcd(512, rows_per_part)
+    nblocks = rows_per_part // blk
+    # Mosaic needs >= 8 sublanes per block: store each group's table 8-padded
+    # ((GCAP*8, lanes), block (8, lanes)); the kernel reads row 0.
+    tlo8 = jnp.repeat(tlo_c, 8, axis=0)
+    thi8 = jnp.repeat(thi_c, 8, axis=0)
+    body = functools.partial(_rows_adc_group_kernel, cb=cb)
+
+    def kernel(gp_ref, *rest):  # scalar-prefetch ref first; body ignores it
+        body(*rest)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(gcap * nblocks,),
+        in_specs=[
+            pl.BlockSpec(
+                (blk, 128),
+                lambda i, gp: (gp[i // nblocks] * nblocks + i % nblocks, 0),
+            ),
+            pl.BlockSpec((8, lanes_t), lambda i, gp: (i // nblocks, 0)),
+            pl.BlockSpec((8, lanes_t), lambda i, gp: (i // nblocks, 0)),
+        ],
+        out_specs=pl.BlockSpec((blk, 128), lambda i, gp: (i, 0)),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((gcap * rows_per_part, 128), jnp.float32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * 16 * gcap * rows_per_part * 128,
+            bytes_accessed=gcap * rows_per_part * 128 * 5 + gcap * lanes_t * 8,
+            transcendentals=0,
+        ),
+    )(group_part, codes_rows, tlo8, thi8)
 
 
 def window_slots(window_ids, block_n: int, window: int):

@@ -118,3 +118,41 @@ def test_ivf_incremental_add_matches_bulk(rng):
             np.testing.assert_array_equal(
                 c2[pi, s2[pi]:], np.broadcast_to(c2[pi, s2[pi]-1], c2[pi, s2[pi]:].shape)
             )
+
+
+def test_ivf_direct_small_batch_path(rng):
+    """Direct (b-small low-latency) path: exact float ADC over probed parts.
+
+    On CPU screen_smallest is exact, so direct results must EQUAL search_adc
+    (same probed partitions, exact distances, exact selection). The
+    interpret=True run additionally exercises the scalar-prefetch Pallas
+    kernel (rows_adc_grouped_prefetch) used on TPU.
+    """
+    index, _, queries, gt = _build_ivf(rng)
+    d_ref, l_ref = ivf.search_adc(index, queries, r=50, ma=4)
+    for interp in (False, True):
+        d, l = ivf.search_qadc(index, queries, r=50, ma=4, direct=True,
+                               interpret=interp)
+        np.testing.assert_array_equal(np.asarray(l), np.asarray(l_ref))
+        np.testing.assert_allclose(np.asarray(d), np.asarray(d_ref),
+                                   rtol=0, atol=1e-4)
+
+
+def test_ivf_direct_auto_gate(rng, monkeypatch):
+    """direct=False must never route to the direct impl; interpret=True with
+    small probed volume must (the TPU auto-gate's selection arm)."""
+    import qadc_tpu.index.ivf as ivf_mod
+
+    index, _, queries, _ = _build_ivf(rng)
+    calls = []
+    orig = ivf_mod._search_qadc_direct_impl
+
+    def spy(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(ivf_mod, "_search_qadc_direct_impl", spy)
+    ivf_mod.search_qadc(index, queries[:1], r=10, ma=2, direct=False)
+    assert not calls
+    ivf_mod.search_qadc(index, queries[:1], r=10, ma=2, interpret=True)
+    assert calls  # small volume + interpret -> direct auto-selected
