@@ -483,18 +483,35 @@ def _rows_adc_body(raw_u8, tlo, thi, *, cb):
     pre-tiled (A, 16*128) rows cost ~2.5 ms/batch at SIFT1M geometry).
     Tables wider than 128 lanes (cb=16) process as H=16*cb/128 halves.
     """
+    lanes_t = tlo.shape[1]
+    h_count = lanes_t // 128
+    return _rows_adc_body_halves(
+        raw_u8,
+        [tlo[:, h * 128 : (h + 1) * 128] for h in range(h_count)],
+        [thi[:, h * 128 : (h + 1) * 128] for h in range(h_count)],
+        cb=cb,
+    )
+
+
+def _rows_adc_body_halves(raw_u8, tlo_halves, thi_halves, *, cb):
+    """Core of _rows_adc_body over pre-split 128-lane table halves.
+
+    Taking halves as separate arrays (lane offset 0 each) matters for the
+    per-group kernel: broadcasting a 1-sublane slice taken at lane offset
+    128 fails Mosaic layout inference ("Invalid input layout" on
+    vector.broadcast) — the cb=16 / M=32 configs hit this.
+    """
     cpr = 128 // cb
     raw = raw_u8.astype(jnp.int32)
     lo = raw & 0x0F
     hi = raw >> 4
-    lanes_t = tlo.shape[1]
-    h_count = lanes_t // 128
+    h_count = len(tlo_halves)
 
     c_lane = jax.lax.broadcasted_iota(jnp.int32, lo.shape, 1) // cb  # code pos
     acc = jnp.zeros(lo.shape, jnp.float32)
     for h in range(h_count):
-        tlo_h = tlo[:, h * 128 : (h + 1) * 128]
-        thi_h = thi[:, h * 128 : (h + 1) * 128]
+        tlo_h = tlo_halves[h]
+        thi_h = thi_halves[h]
         lo_h = lo - h * cpr                      # in [0, cpr) when in half h
         hi_h = hi - h * cpr
         lo_in = (lo_h >= 0) & (lo_h < cpr)
@@ -519,10 +536,20 @@ def _rows_adc_kernel(rows_ref, tlo_ref, thi_ref, acc_ref, *, cb):
     acc_ref[...] = _rows_adc_body(rows_ref[...], tlo_ref[...], thi_ref[...], cb=cb)
 
 
-def _rows_adc_group_kernel(rows_ref, tlo_ref, thi_ref, acc_ref, *, cb):
-    """Per-group table: all block rows share table row 0 (broadcast)."""
-    acc_ref[...] = _rows_adc_body(
-        rows_ref[...], tlo_ref[0:1, :], thi_ref[0:1, :], cb=cb
+def _rows_adc_group_kernel(rows_ref, *t_refs_and_out, cb):
+    """Per-group table: all block rows share table row 0 (broadcast).
+
+    t_refs_and_out: h_count lo-half refs, h_count hi-half refs (each
+    (8, 128), row 0 live), then the output ref.
+    """
+    acc_ref = t_refs_and_out[-1]
+    t_refs = t_refs_and_out[:-1]
+    h_count = len(t_refs) // 2
+    acc_ref[...] = _rows_adc_body_halves(
+        rows_ref[...],
+        [r[0:1, :] for r in t_refs[:h_count]],
+        [r[0:1, :] for r in t_refs[h_count:]],
+        cb=cb,
     )
 
 
@@ -582,12 +609,18 @@ def rows_adc_grouped_prefetch(
     """
     gcap = group_part.shape[0]
     lanes_t = 16 * cb
+    h_count = lanes_t // 128
     blk = math.gcd(512, rows_per_part)
     nblocks = rows_per_part // blk
-    # Mosaic needs >= 8 sublanes per block: store each group's table 8-padded
-    # ((GCAP*8, lanes), block (8, lanes)); the kernel reads row 0.
-    tlo8 = jnp.repeat(tlo_c, 8, axis=0)
-    thi8 = jnp.repeat(thi_c, 8, axis=0)
+    # Mosaic needs >= 8 sublanes per block (each group's table stored
+    # 8-repeated, kernel reads row 0) and each 128-lane HALF as a separate
+    # input (an offset-lane slice of a 1-sublane vector fails layout
+    # inference — see _rows_adc_body_halves).
+    halves = [
+        jnp.repeat(t[:, h * 128 : (h + 1) * 128], 8, axis=0)
+        for t in (tlo_c, thi_c)
+        for h in range(h_count)
+    ]
     body = functools.partial(_rows_adc_group_kernel, cb=cb)
 
     def kernel(gp_ref, *rest):  # scalar-prefetch ref first; body ignores it
@@ -601,8 +634,10 @@ def rows_adc_grouped_prefetch(
                 (blk, 128),
                 lambda i, gp: (gp[i // nblocks] * nblocks + i % nblocks, 0),
             ),
-            pl.BlockSpec((8, lanes_t), lambda i, gp: (i // nblocks, 0)),
-            pl.BlockSpec((8, lanes_t), lambda i, gp: (i // nblocks, 0)),
+        ]
+        + [
+            pl.BlockSpec((8, 128), lambda i, gp: (i // nblocks, 0))
+            for _ in range(2 * h_count)
         ],
         out_specs=pl.BlockSpec((blk, 128), lambda i, gp: (i, 0)),
     )
@@ -616,7 +651,7 @@ def rows_adc_grouped_prefetch(
             bytes_accessed=gcap * rows_per_part * 128 * 5 + gcap * lanes_t * 8,
             transcendentals=0,
         ),
-    )(group_part, codes_rows, tlo8, thi8)
+    )(group_part, codes_rows, *halves)
 
 
 def window_slots(window_ids, block_n: int, window: int):

@@ -46,6 +46,10 @@ class SearchServer:
         self.keep = keep
         self.adc_type = adc_type
         self.batch_size = batch_size
+        # Fixed-shape BUCKETS (jit compiles once per bucket): a lone request
+        # pads to shape 1 — engaging the direct low-latency IVF path
+        # (index/ivf.py) — instead of paying the full batch's cost.
+        self.batch_buckets = sorted({1, min(8, batch_size), batch_size})
         self.max_wait_s = max_wait_ms / 1e3
         self.is_ivf = isinstance(index, IVFIndex)
         if not self.is_ivf and not isinstance(index, FlatIndex):
@@ -94,7 +98,8 @@ class SearchServer:
                 pending.append(nxt)
 
             try:
-                batch = np.zeros((self.batch_size, dim), np.float32)
+                bsz = next(b for b in self.batch_buckets if b >= len(pending))
+                batch = np.zeros((bsz, dim), np.float32)
                 for i, (vec, _) in enumerate(pending):
                     batch[i] = vec
                 dists, labels = self._search(batch)

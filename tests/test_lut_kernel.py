@@ -171,3 +171,30 @@ def test_kernel_float_tables(rng):
     )
     want = _sim_window_min(full, 512, 8, 8)
     np.testing.assert_allclose(np.asarray(vals)[:, :3], want[:, :3], rtol=1e-5, atol=1e-4)
+
+
+def test_rows_adc_grouped_prefetch_parity(rng):
+    """In-place per-group float ADC (the direct path's scan) vs the per-row
+    gather formulation — both cb=8 (M=16) and cb=16 (M=32, the config whose
+    offset-lane table halves previously failed Mosaic layout inference)."""
+    import jax.numpy as jnp
+    from qadc_tpu.kernels.lut_scan import (
+        rows_adc_accumulate,
+        rows_adc_grouped_prefetch,
+    )
+
+    for cb in (8, 16):
+        rpp, gcap, parts = 64, 4, 8
+        codes = jnp.asarray(
+            rng.integers(0, 256, size=(parts * rpp, 128), dtype=np.uint8)
+        )
+        gp = jnp.asarray(rng.permutation(parts)[:gcap].astype(np.int32))
+        tl = jnp.asarray(rng.normal(size=(gcap, 16 * cb)).astype(np.float32))
+        th = jnp.asarray(rng.normal(size=(gcap, 16 * cb)).astype(np.float32))
+        out_g = rows_adc_grouped_prefetch(
+            codes, gp, tl, th, rpp, cb=cb, interpret=True
+        )
+        rows = codes.reshape(parts, rpp, 128)[gp].reshape(gcap * rpp, 128)
+        pair = jnp.repeat(jnp.arange(gcap, dtype=jnp.int32), rpp)
+        out_r = rows_adc_accumulate(rows, tl[pair], th[pair], cb=cb, interpret=True)
+        np.testing.assert_array_equal(np.asarray(out_g), np.asarray(out_r))
