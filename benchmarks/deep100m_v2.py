@@ -7,21 +7,20 @@ partition-sharded dist/ path divides it across chips for the full 1B.
 All index data is generated ON DEVICE (jax PRNG) — this benchmarks the search
 path, not host->device transfer.
 
-Timing: the relay charges a large FIXED cost per fenced call (~40 ms RTT +
-dispatch), so per-query time is the SLOPE over two batch sizes — same jitted
-search, both real workloads, fixed cost cancels:
-  us/query = (t(q_hi) - t(q_lo)) / (q_hi - q_lo).
+Timing: device-side fori_loop chain, slope over two chain lengths
+(qadc_tpu/eval/timing.py:fori_slope_seconds) — relay fixed cost cancels and
+nothing hides inside the dispatch RTT.
 
 Run: PYTHONPATH=. python benchmarks/deep100m_v2.py [--ma 24]
 """
 import argparse
 import json
-import time
 
 
 def main():
     import jax
     import jax.numpy as jnp
+    from qadc_tpu.eval.timing import fori_slope_seconds
     from qadc_tpu.index import ivf
     from qadc_tpu.index.ivf import IVFIndex
     from qadc_tpu.quantizers.pq import ProductQuantizer
@@ -30,9 +29,6 @@ def main():
     ap.add_argument("--ma", type=int, default=24)
     ap.add_argument("--parts", type=int, default=4096)
     ap.add_argument("--group-size", type=int, default=128)
-    ap.add_argument("--q-lo", type=int, default=128)
-    ap.add_argument("--q-hi", type=int, default=512)
-    ap.add_argument("--reps", type=int, default=6)
     args = ap.parse_args()
 
     dim, m = 96, 16
@@ -60,37 +56,27 @@ def main():
     jax.block_until_ready(index.codes)
     print(f"index ready: {index.n/1e6:.0f}M codes, part_pad={part_pad}", flush=True)
 
-    # The library search is jitted with `index` as an ARGUMENT (closing over
-    # it would embed 800 MB as an HLO constant and break remote compile).
-    def run_batch(q):
-        qs = jax.random.normal(k4, (q, dim), jnp.float32)
-        d, _ = ivf.search_qadc(
-            index, qs, r=100, ma=args.ma, keep=0.005, group_size=args.group_size
-        )
-        tap = float(d[0, 0])  # fence
-        t0 = time.time()
-        for i in range(args.reps):
+    results = {}
+    for batch, klo, khi in ((512, 4, 20), (1, 40, 200)):
+        qs = jax.random.normal(k4, (batch, dim), jnp.float32)
+
+        def body(a, tap):
+            idx, q = a
             d, _ = ivf.search_qadc(
-                index, qs + abs(tap) * 1e-12, r=100, ma=args.ma, keep=0.005,
+                idx, q + tap * 1e-12, r=100, ma=args.ma, keep=0.005,
                 group_size=args.group_size,
             )
-            tap = float(d[0, 0])  # fences each call
-        return (time.time() - t0) / args.reps
+            return d.sum()
 
-    t_lo = run_batch(args.q_lo)
-    t_hi = run_batch(args.q_hi)
-    us_per_query = (t_hi - t_lo) / (args.q_hi - args.q_lo) * 1e6
+        dt = fori_slope_seconds(body, (index, qs), k_lo=klo, k_hi=khi)
+        results[f"us_per_query_b{batch}"] = dt * 1e6 / batch
+        print(f"b={batch}: {dt*1e6/batch:.1f} us/query", flush=True)
+
     print(json.dumps({
         "metric": "deep100m_ivf4096_qadc_us_per_query",
-        "value": us_per_query,
-        "unit": "us/query (slope over batch size; fixed relay cost cancelled)",
-        "detail": {
-            "t_per_call_q%d_ms" % args.q_lo: t_lo * 1e3,
-            "t_per_call_q%d_ms" % args.q_hi: t_hi * 1e3,
-            "qps_at_q%d" % args.q_hi: args.q_hi / t_hi,
-            "codes_in_index": index.n,
-            "ma": args.ma,
-        },
+        "value": results["us_per_query_b512"],
+        "unit": "us/query (device fori chain, slope-fit)",
+        "detail": {**results, "codes_in_index": index.n, "ma": args.ma},
     }))
 
 
