@@ -566,16 +566,33 @@ def _search_qadc_grouped_impl(
     sel_ai = selq // c                                     # assignment index
     sel_wi = selq % c                                      # window in partition
     sel_pair = jnp.arange(q, dtype=jnp.int32)[:, None] * ma + sel_ai  # (Q, wq)
-    sel_part = jnp.take_along_axis(parts, sel_ai, axis=1)  # (Q, wq)
+    # take_along_axis here is an ELEMENT gather — ~9 ns/element on TPU
+    # regardless of source size (2 x 210 us/batch measured for (Q, wq) from
+    # a (Q, ma) source). ma select-accumulate passes cost ~1 us.
+    sel_part = _select_cols(parts, sel_ai, ma)             # (Q, wq)
+    sel_sz = _select_cols(sz.reshape(q, ma), sel_ai, ma)
 
     tw_src = tables if rerank else qtables.astype(jnp.float32)
     return window_rerank(
         index.codes.reshape(-1, 128), index.labels.reshape(-1), part_pad,
         tw_src, screen_v, sel_part, sel_pair, sel_wi,
-        jnp.take_along_axis(sz.reshape(q, ma), sel_ai, axis=1),
+        sel_sz,
         r, block_n, window, tiles=tiles if rerank else None,
         clamp127=saturate and not rerank, interpret=interpret,
     )
+
+
+def _select_cols(src, idx, ncols: int):
+    """(Q, ncols) source, (Q, K) int column ids -> (Q, K) selected values.
+
+    Data-parallel replacement for jnp.take_along_axis when ncols is small:
+    TPU element gathers cost ~9 ns/element independent of source size, so
+    ncols where-accumulate passes win whenever ncols << K.
+    """
+    out = jnp.zeros(idx.shape, src.dtype)
+    for a in range(ncols):
+        out = out + jnp.where(idx == a, src[:, a : a + 1], 0)
+    return out
 
 
 def window_rerank(
