@@ -1,0 +1,128 @@
+"""Stage-level profile of the b=1 direct IVF path (fori-chain slope timing).
+
+Times cumulative prefixes of _search_qadc_direct_impl's stages; successive
+differences are per-stage device costs with relay dispatch cancelled.
+Run: python benchmarks/profile_b1.py [batch]
+"""
+
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from qadc_tpu.eval.timing import fori_slope_seconds
+    from qadc_tpu.index.ivf import (
+        adc_tables,
+        assign_queries,
+        rows_adc,
+        tile_tables_rows,
+    )
+    from qadc_tpu.kernels.lut_scan import rows_adc_grouped_prefetch
+    from qadc_tpu.ops.topk import screen_smallest, topk_smallest
+
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 1
+    r, ma = 100, 24
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import bench
+
+    rng = np.random.default_rng(0)
+    index = bench._make_ivf(rng)
+    queries = jnp.asarray(rng.normal(size=(batch, 128)).astype(np.float32))
+
+    m = index.pq.sq_count
+    cb = index.pq.code_size
+    cpr = index.cpr
+    rpp = index.part_pad // cpr
+
+    def front(idx, qs):
+        parts, rot = assign_queries(idx, qs, ma)
+        tables = adc_tables(rot, idx.pq.centroids)
+        qa = qs.shape[0] * ma
+        tlo, thi = tile_tables_rows(tables.reshape(qa, m, 16))
+        return parts, tlo, thi
+
+    def kernel(idx, parts, tlo, thi):
+        pflat = parts.reshape(-1)
+        return rows_adc_grouped_prefetch(
+            idx.codes.reshape(-1, 128), pflat, tlo, thi, rpp, cb=cb
+        )
+
+    def smat(acc):
+        s_mat = jnp.asarray(
+            (np.arange(128)[:, None] // cb) == np.arange(cpr)[None, :],
+            jnp.float32,
+        )
+        return jnp.dot(acc, s_mat, precision=jax.lax.Precision.HIGHEST)
+
+    def mask(idx, parts, d, q):
+        pflat = parts.reshape(-1)
+        d = d.reshape(q, ma * idx.part_pad)
+        lab = idx.labels[pflat].reshape(q, ma * idx.part_pad)
+        sz = idx.part_sizes[parts]
+        col = jnp.arange(idx.part_pad, dtype=jnp.int32)
+        valid = (col[None, None, :] < sz[:, :, None]).reshape(
+            q, ma * idx.part_pad
+        )
+        return jnp.where(valid, d, jnp.inf), lab
+
+    def screen(d, lab, wq):
+        sv, si = screen_smallest(d, wq)
+        sl = jnp.take_along_axis(lab, si, axis=-1)
+        return sv, sl
+
+    stages = {}
+
+    def bodies(upto):
+        def body(args, tap):
+            idx, qs = args
+            qs = qs + tap * 1e-12
+            q = qs.shape[0]
+            parts, tlo, thi = front(idx, qs)
+            if upto == 1:
+                return tlo.sum()
+            acc = kernel(idx, parts, tlo, thi)
+            if upto == 2:
+                return acc[0, 0]
+            d = smat(acc)
+            if upto == 3:
+                return d[0, 0]
+            d, lab = mask(idx, parts, d, q)
+            if upto == 4:
+                return d[0, 0]
+            sv, sl = screen(d, lab, min(2 * r, d.shape[1]))
+            if upto == 5:
+                return sv[0, 0]
+            fv, fl = topk_smallest(sv, sl, r)
+            return fv[0, 0]
+
+        return body
+
+    k_lo, k_hi = (100, 500) if batch == 1 else (30, 150)
+    prev = 0.0
+    names = ["front", "kernel", "smat", "mask", "screen", "topk"]
+    for i, name in enumerate(names, start=1):
+        dt = fori_slope_seconds(
+            bodies(i), (index, queries), k_lo=k_lo, k_hi=k_hi
+        )
+        us = dt * 1e6
+        stages[name] = us - prev
+        print(f"cum @{name:<7} {us:8.1f} us   stage {us - prev:7.1f} us",
+              flush=True)
+        prev = us
+    total = prev
+    print(f"\nb={batch}: total {total:.1f} us "
+          f"({total / batch:.1f} us/query)")
+    for n, v in stages.items():
+        print(f"  {n:<7} {v:7.1f} us  {100 * v / total:5.1f}%")
+
+
+if __name__ == "__main__":
+    main()

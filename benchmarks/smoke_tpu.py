@@ -68,6 +68,12 @@ def main():
                 cb=cb, block_n=2048, acc_dtype_name="float32",
             ),
         )
+        check(
+            f"lut_scan_reduce m={m} transpose_out",
+            lambda: lut_scan_reduce(
+                codes, tlo, thi, cb=cb, block_n=2048, transpose_out=True,
+            ),
+        )
 
         gcap, rpp = 4, 512 // cpr * 2
         pcodes = jnp.asarray(
@@ -96,6 +102,13 @@ def main():
             lambda: lut_scan_grouped_prefetch(
                 pcodes, gp, slab, slab, rows_per_group=rpp * cpr, cb=cb,
                 block_n=512, window=min(cpr, 16),
+            ),
+        )
+        check(
+            f"lut_scan_grouped_prefetch cb={cb} transpose_out",
+            lambda: lut_scan_grouped_prefetch(
+                pcodes, gp, slab, slab, rows_per_group=rpp * cpr, cb=cb,
+                block_n=512, window=min(cpr, 16), transpose_out=True,
             ),
         )
 

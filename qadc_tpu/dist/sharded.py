@@ -140,7 +140,7 @@ def search_qadc_flat_sharded(
 
             vals, _ = lut_scan_reduce(
                 codes_local, tlo, thi, cb=cb, block_n=bn, window=window,
-                interpret=interpret,
+                interpret=interpret, transpose_out=True,
             )
             local_size = jnp.clip(n_real - offset, 0, local_rows)
             rank_t = tf.reshape(q, m, 16) if rerank else qt.astype(jnp.float32)

@@ -178,13 +178,14 @@ def _search_impl(
             thi_p[s2p].reshape(gcap, g, lanes).transpose(0, 2, 1)
             .reshape(gcap * lanes, g)
         )
-        vals = lut_scan_grouped_prefetch(
+        # Slot-major kernel output: skips the (gcap, C, G) -> (gcap, G, C)
+        # relayout copy (see index.ivf._search_qadc_grouped_impl).
+        vals_rows = lut_scan_grouped_prefetch(
             codes_l.reshape(-1, 128), routed.group_part, glo, ghi,
             rows_per_group=part_pad, cb=cb, block_n=block_n, window=window,
-            interpret=interpret,
+            interpret=interpret, transpose_out=True,
         )
         c = part_pad // window
-        vals_rows = vals.reshape(gcap, c, g).transpose(0, 2, 1).reshape(gcap * g, c)
         cv = vals_rows[qa_g * g + qa_s].astype(jnp.float32)
         win_ids = jnp.arange(c, dtype=jnp.int32)
         all_rows = slots_to_rows(window_slots(win_ids, block_n, window), block_n, cb)
@@ -200,7 +201,13 @@ def _search_impl(
 
         wq = min(2 * r, ma * c)
         cv_q = cv.reshape(q, ma * c)
-        screen_v, selq = screen_smallest(cv_q, wq)
+        # bf16 screen on TPU (see index.ivf._search_qadc_grouped_impl):
+        # screen_v only feeds the isfinite dead-slot mask in window_rerank.
+        cv_s = (
+            cv_q.astype(jnp.bfloat16)
+            if jax.default_backend() == "tpu" else cv_q
+        )
+        screen_v, selq = screen_smallest(cv_s, wq)
         sel_ai = selq // c
         sel_wi = selq % c
         sel_pair = jnp.arange(q, dtype=jnp.int32)[:, None] * ma + sel_ai

@@ -138,7 +138,8 @@ def window_search_rows(
       codes_rows: (n_pad/cpr, 128) uint8 ROW128 storage.
       labels_flat: (n_pad,) int32 result labels.
       size: valid code count in this range (int or scalar array).
-      vals: (C, Qp) per-window minima from the scan kernel.
+      vals: (Qp, C) per-window minima from the scan kernel
+        (transpose_out=True layout — per-query window rows).
       rank_tables: (Q, M, 16) float tables to rank the expansion with.
     """
     from qadc_tpu.index.ivf import window_rerank
@@ -148,7 +149,7 @@ def window_search_rows(
     cpr = 128 // cb
     n_pad = codes_rows.shape[0] * cpr
     c = n_pad // window
-    vals_t = vals.T[:q].astype(jnp.float32)                    # (Q, C)
+    vals_t = vals[:q].astype(jnp.float32)                      # (Q, C)
     win_ids = jnp.arange(c, dtype=jnp.int32)
     all_rows = slots_to_rows(window_slots(win_ids, block_n, window), block_n, cb)
     has_valid = jnp.min(all_rows, axis=1)[None, :] < size
@@ -157,7 +158,13 @@ def window_search_rows(
         neg, sel = jax.lax.top_k(-vals_t, wq)
         screen_v = -neg
     else:
-        screen_v, sel = screen_smallest(vals_t, wq)
+        # bf16 screen on TPU (halves approx_min_k bytes); screen_v only
+        # feeds window_rerank's isfinite dead-slot mask.
+        vs = (
+            vals_t.astype(jnp.bfloat16)
+            if jax.default_backend() == "tpu" else vals_t
+        )
+        screen_v, sel = screen_smallest(vs, wq)
     sel_part = jnp.zeros((q, wq), jnp.int32)
     sel_pair = jnp.broadcast_to(jnp.arange(q, dtype=jnp.int32)[:, None], (q, wq))
     sel_sz = jnp.broadcast_to(jnp.asarray(size, jnp.int32), (q, wq))
@@ -293,7 +300,7 @@ def search_adc(index: FlatIndex, queries, r: int = 100, interpret: bool = False)
         vals, _ = lut_scan_reduce(
             index.codes, tlo.astype(jnp.float32), thi.astype(jnp.float32),
             cb=cb, block_n=bn, window=window, acc_dtype_name="float32",
-            interpret=interpret,
+            interpret=interpret, transpose_out=True,
         )
         # Exact-screen window expansion: a code outside the top-2r windows is
         # beaten by 2r better codes; the expansion is ranked with exact-f32
@@ -399,7 +406,7 @@ def search_qadc(
         tlo, thi = build_scan_tables(qtables)
         vals, _ = lut_scan_reduce(
             index.codes, tlo, thi, cb=cb, block_n=bn, window=window,
-            interpret=interpret,
+            interpret=interpret, transpose_out=True,
         )
         if saturate:
             # Entries >= 0: window-min of saturating sums == min(min, 127).

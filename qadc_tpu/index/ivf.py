@@ -450,19 +450,35 @@ def _search_qadc_direct_impl(
         pair = jnp.repeat(jnp.arange(qa, dtype=jnp.int32), rpp)
         d = rows_adc(rows, tlo[pair], thi[pair], cb, interpret=interpret)
     d = d.reshape(q, ma * index.part_pad)                 # code order
-    lab = index.labels[pflat].reshape(q, ma * index.part_pad)
     sz = index.part_sizes[parts]                          # (Q, ma)
     col = jnp.arange(index.part_pad, dtype=jnp.int32)
     valid = (col[None, None, :] < sz[:, :, None]).reshape(q, ma * index.part_pad)
-    d = jnp.where(valid, d, jnp.inf)
+    # Finite sentinel (not +inf): the sentinel flows through the screen when
+    # fewer than wq valid candidates exist, and 0 * inf would NaN any matmul
+    # it later touched; restored to +inf after the final top-k.
+    big = jnp.float32(3.0e38)
+    d = jnp.where(valid, d, big)
     wq = min(2 * r, d.shape[1])
-    sv, si = screen_smallest(d, wq)
-    sl = jnp.take_along_axis(lab, si, axis=-1)
+    # On TPU, screen on bf16 (halves the approx_min_k input bytes); rank the
+    # wq survivors on their exact f32 values. bf16 rounding can only swap
+    # near-ties across the screen boundary, absorbed by wq = 2r + the exact
+    # final top-k. Off-TPU the screen is an exact top_k — keep f32 so the
+    # direct path stays bit-exact vs search_adc there.
+    d_screen = d.astype(jnp.bfloat16) if jax.default_backend() == "tpu" else d
+    _, si = screen_smallest(d_screen, wq)
+    sv = jnp.take_along_axis(d, si, axis=-1)              # (Q, wq) tiny gather
+    # Labels for the wq winners only (the up-front (Q, ma*part_pad) label
+    # gather + take_along was ~14 us of the b=1 budget): column j belongs to
+    # assignment j // part_pad; ma is small, so select-accumulate the
+    # partition ids, then one (Q, wq) element gather from the label table.
+    a_id = si // index.part_pad
+    part_sel = _select_cols(parts, a_id, ma)              # (Q, wq) int32
+    sl = index.labels.reshape(-1)[part_sel * index.part_pad + si % index.part_pad]
     if r > wq:  # tiny probed volume: pad to the (Q, r) contract
-        sv = jnp.pad(sv, [(0, 0), (0, r - wq)], constant_values=jnp.inf)
+        sv = jnp.pad(sv, [(0, 0), (0, r - wq)], constant_values=big)
         sl = jnp.pad(sl, [(0, 0), (0, r - wq)])
-        return topk_smallest(sv, sl, r)
-    return topk_smallest(sv, sl, r)
+    fv, fl = topk_smallest(sv, sl, r)
+    return jnp.where(fv >= big, jnp.inf, fv), fl
 
 
 @partial(
@@ -525,18 +541,18 @@ def _search_qadc_grouped_impl(
     )
 
     # Scan each group's partition IN PLACE (scalar-prefetch block routing —
-    # no gather copy of the scanned bytes). Codes are row128 storage.
-    vals = lut_scan_grouped_prefetch(
+    # no gather copy of the scanned bytes). Codes are row128 storage. The
+    # kernel emits SLOT-MAJOR (gcap*G, C) window minima: the per-block
+    # in-VMEM transpose replaces a whole-array relayout copy here (10.7 ms
+    # of a 130 ms Deep100M b=2048 batch as a separate XLA transpose).
+    vals_rows = lut_scan_grouped_prefetch(
         index.codes.reshape(-1, 128), routed.group_part, glo, ghi,
         rows_per_group=part_pad, cb=m // 2, block_n=block_n, window=window,
-        interpret=interpret,
+        interpret=interpret, transpose_out=True,
     )
     c = part_pad // window
-    # Per-pair window minima via a SINGLE-AXIS row gather ((slot-major rows) —
+    # Per-pair window minima via a SINGLE-AXIS row gather (slot-major rows —
     # multi-axis fancy gathers lower pathologically on TPU).
-    vals_rows = (
-        vals.reshape(gcap, c, g).transpose(0, 2, 1).reshape(gcap * g, c)
-    )
     cv = vals_rows[qa_g * g + qa_s].astype(jnp.float32)   # (QA, C)
     if saturate:
         # Entries >= 0, so window-min of saturating sums == min(min, 127).
@@ -556,7 +572,17 @@ def _search_qadc_grouped_impl(
     wq = min(2 * r, ma * c)
     cv_q = cv.reshape(q, ma * c)
     if rerank:
-        screen_v, selq = screen_smallest(cv_q, wq)          # (Q, wq) into ma*C
+        # Window minima are int8-table sums (|v| <= ~2k): screen them in bf16
+        # on TPU (halves approx_min_k's input bytes). bf16 is exact to 256 and
+        # within 8 counts above — swaps only near-tied windows across the
+        # wq = 2r boundary, absorbed by the exact whole-window rerank.
+        cv_s = (
+            cv_q.astype(jnp.bfloat16)
+            if jax.default_backend() == "tpu" else cv_q
+        )
+        # screen_v only feeds an isfinite() dead-slot mask downstream, so the
+        # bf16 values are enough — no exact-value regather.
+        screen_v, selq = screen_smallest(cv_s, wq)          # (Q, wq) into ma*C
     else:
         # Reference-style ranking must be EXACT top-r by quantized distance:
         # exact window selection (top-wq windows by min with wq >= r provably

@@ -234,13 +234,18 @@ def _window_min(acc, window: int):
 
 def _scan_min_kernel(
     codes_ref, tlo_ref, thi_ref, jpat_ref, e_ref, vals_ref,
-    *, window, acc_dtype, cb, accfn,
+    *, window, acc_dtype, cb, accfn, transpose_out=False,
 ):
-    """Flat scan block: window minima only (callers expand winning windows)."""
+    """Flat scan block: window minima only (callers expand winning windows).
+
+    transpose_out writes (Qp, windows) blocks so per-query window rows come
+    out of the kernel directly (no whole-array (C, Qp) -> (Qp, C) relayout).
+    """
     acc = accfn(
         codes_ref[...], cb, tlo_ref[...], thi_ref[...], jpat_ref, e_ref, acc_dtype
     )
-    vals_ref[...] = _window_min(acc, window)
+    m = _window_min(acc, window)
+    vals_ref[...] = m.T if transpose_out else m
 
 
 def _scan_kernel(
@@ -272,7 +277,7 @@ def _scan_kernel(
     jax.jit,
     static_argnames=(
         "cb", "block_n", "window", "interpret", "acc_dtype_name", "variant",
-        "with_rows",
+        "with_rows", "transpose_out",
     ),
 )
 def lut_scan_reduce(
@@ -286,6 +291,7 @@ def lut_scan_reduce(
     acc_dtype_name: str = "int32",
     variant: str = "int8",
     with_rows: bool = False,
+    transpose_out: bool = False,
 ):
     """Scan all codes; return per-window candidates (vals, code ROW ids).
 
@@ -300,11 +306,16 @@ def lut_scan_reduce(
       with_rows: also emit arg-min code ROW ids per window (costs ~15 extra
         select passes + one output stream; window-expansion callers don't
         need rows).
+      transpose_out: emit vals as (Qp, N_pad/W) — per-query window rows —
+        saving callers the (C, Qp) -> (Qp, C) relayout copy. Min-only
+        (with_rows=False) layout option.
 
     Returns:
-      (vals (N_pad/W, Qp), rows (N_pad/W, Qp) int32 global code rows —
-       None when with_rows=False).
+      (vals (N_pad/W, Qp) — or (Qp, N_pad/W) with transpose_out,
+       rows (N_pad/W, Qp) int32 global code rows — None when with_rows=False).
     """
+    if with_rows and transpose_out:
+        raise ValueError("transpose_out supports the min-only variant")
     cpr = 128 // cb
     n_pad = codes_rows.shape[0] * cpr
     lanes = cb * 16
@@ -337,14 +348,24 @@ def lut_scan_reduce(
     if not with_rows:
         kernel = functools.partial(
             _scan_min_kernel, window=window, acc_dtype=acc_dtype, cb=cb,
-            accfn=accfn,
+            accfn=accfn, transpose_out=transpose_out,
         )
+        if transpose_out:
+            out_specs = pl.BlockSpec(
+                (qp, g), lambda i: (0, i), memory_space=pltpu.VMEM
+            )
+            out_shape = jax.ShapeDtypeStruct((qp, n_pad // window), acc_dtype)
+        else:
+            out_specs = pl.BlockSpec(
+                (g, qp), lambda i: (i, 0), memory_space=pltpu.VMEM
+            )
+            out_shape = jax.ShapeDtypeStruct((n_pad // window, qp), acc_dtype)
         vals = pl.pallas_call(
             kernel,
             grid=grid,
             in_specs=in_specs,
-            out_specs=pl.BlockSpec((g, qp), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((n_pad // window, qp), acc_dtype),
+            out_specs=out_specs,
+            out_shape=out_shape,
             interpret=interpret,
             cost_estimate=cost,
         )(codes_rows, tables_lo, tables_hi, jpat, e)
@@ -372,23 +393,33 @@ def lut_scan_reduce(
 
 
 def _grouped_scan_kernel(
-    codes_ref, tlo_ref, thi_ref, jpat_ref, e_ref, vals_ref, *, window, acc_dtype, cb
+    codes_ref, tlo_ref, thi_ref, jpat_ref, e_ref, vals_ref,
+    *, window, acc_dtype, cb, transpose_out=False,
 ):
     """Grouped variant: table blocks are the current group's (lanes, G) slab.
 
     Emits only window-min VALUES (no arg): the caller reranks whole winning
     windows (see window_rerank), which removes arg bookkeeping and makes
     quantization ties harmless.
+
+    transpose_out writes the block as (G, windows) — slot-major — so callers
+    needing per-pair window rows skip the whole-array (gcap, C, G) ->
+    (gcap, G, C) relayout copy (measured 10.7 ms of a 130 ms Deep100M
+    b=2048 batch); the in-VMEM transpose rides the per-block matmul cost.
     """
     acc = _accumulate_rows_int8(
         codes_ref[...], cb, tlo_ref[...], thi_ref[...], jpat_ref, e_ref, acc_dtype
     )
-    vals_ref[...] = _window_min(acc, window)
+    m = _window_min(acc, window)
+    vals_ref[...] = m.T if transpose_out else m
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("rows_per_group", "cb", "block_n", "window", "interpret"),
+    static_argnames=(
+        "rows_per_group", "cb", "block_n", "window", "interpret",
+        "transpose_out",
+    ),
 )
 def lut_scan_grouped_prefetch(
     codes_rows,
@@ -400,6 +431,7 @@ def lut_scan_grouped_prefetch(
     block_n: int = 512,
     window: int = DEFAULT_WINDOW,
     interpret: bool = False,
+    transpose_out: bool = False,
 ):
     """Grouped IVF scan reading partitions IN PLACE via scalar prefetch.
 
@@ -409,12 +441,16 @@ def lut_scan_grouped_prefetch(
       group_part: (GCAP,) int32 — partition scanned by each group.
       tables_lo/hi: (GCAP * (M/2)*16, G) int8 group-major table slabs.
       rows_per_group: padded partition size in CODES (static).
+      transpose_out: emit (GCAP*G, C) slot-major window minima instead
+        (C = rows_per_group/W) — row gi*G + s holds group gi slot s's windows,
+        saving callers the (gcap, C, G) -> (gcap, G, C) relayout.
 
     Returns:
-      vals (GCAP*rows_per_group/W, G) int32 window minima. Window wi of group
-      gi covers the group's local SLOTS {(wi // gr)*block_n + w*gr + (wi % gr)}
-      (gr = block_n/W); map slots to code rows with slots_to_rows / use
-      window_slots + slots_to_rows for expansion.
+      vals (GCAP*rows_per_group/W, G) int32 window minima (or the transposed
+      layout above). Window wi of group gi covers the group's local SLOTS
+      {(wi // gr)*block_n + w*gr + (wi % gr)} (gr = block_n/W); map slots to
+      code rows with slots_to_rows / use window_slots + slots_to_rows for
+      expansion.
     """
     cpr = 128 // cb
     lanes = cb * 16
@@ -432,12 +468,25 @@ def lut_scan_grouped_prefetch(
     e, jpat = _expand_consts(cb)
 
     body = functools.partial(
-        _grouped_scan_kernel, window=window, acc_dtype=jnp.int32, cb=cb
+        _grouped_scan_kernel, window=window, acc_dtype=jnp.int32, cb=cb,
+        transpose_out=transpose_out,
     )
 
     def kernel(gp_ref, *rest):  # scalar-prefetch ref arrives first; unused in body
         body(*rest)
 
+    if transpose_out:
+        out_specs = pl.BlockSpec(
+            (gq, g), lambda i, gp: (i // nblocks, i % nblocks)
+        )
+        out_shape = jax.ShapeDtypeStruct(
+            (gcap * gq, rows_per_group // window), jnp.int32
+        )
+    else:
+        out_specs = pl.BlockSpec((g, gq), lambda i, gp: (i, 0))
+        out_shape = jax.ShapeDtypeStruct(
+            (gcap * rows_per_group // window, gq), jnp.int32
+        )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(gcap * nblocks,),
@@ -451,12 +500,12 @@ def lut_scan_grouped_prefetch(
             pl.BlockSpec((8, lanes), lambda i, gp: (0, 0)),
             pl.BlockSpec((cpr * 128, lanes), lambda i, gp: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((g, gq), lambda i, gp: (i, 0)),
+        out_specs=out_specs,
     )
     vals = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((gcap * rows_per_group // window, gq), jnp.int32),
+        out_shape=out_shape,
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * 2 * gcap * rows_per_group * lanes * gq,
@@ -514,12 +563,24 @@ def _rows_adc_body_halves(raw_u8, tlo_halves, thi_halves, *, cb):
         thi_h = thi_halves[h]
         lo_h = lo - h * cpr                      # in [0, cpr) when in half h
         hi_h = hi - h * cpr
-        lo_in = (lo_h >= 0) & (lo_h < cpr)
-        hi_in = (hi_h >= 0) & (hi_h < cpr)
+        # Roll-relative shift, hoisted out of the dd loop (one mod each).
+        lo_rel = (lo_h - c_lane) % cpr
+        hi_rel = (hi_h - c_lane) % cpr
+        if h_count == 1:
+            # Single half: every nibble value is in range — the in-range
+            # masks are constant-true and the VPU compare+and per pass is
+            # pure overhead (~20% of kernel time at cb=8, measured).
+            lo_in = hi_in = None
+        else:
+            lo_in = (lo_h >= 0) & (lo_h < cpr)
+            hi_in = (hi_h >= 0) & (hi_h < cpr)
         for dd in range(cpr):
             # roll(t, -dd*cb)[l] = t[(l + dd*cb) % 128] = t[(c+dd)%cpr*cb + b]
-            take_lo = lo_in & ((lo_h - c_lane) % cpr == dd)
-            take_hi = hi_in & ((hi_h - c_lane) % cpr == dd)
+            take_lo = lo_rel == dd
+            take_hi = hi_rel == dd
+            if lo_in is not None:
+                take_lo = lo_in & take_lo
+                take_hi = hi_in & take_hi
             acc = (
                 acc
                 + jnp.where(take_lo, tlo_h, 0.0)

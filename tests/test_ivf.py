@@ -138,6 +138,42 @@ def test_ivf_direct_small_batch_path(rng):
                                    rtol=0, atol=1e-4)
 
 
+def test_ivf_direct_short_results_inf(rng):
+    """Probed volume smaller than r: tail padded with +inf (heap-not-full
+    semantics, reference query_common.hpp:356-358), finite results first.
+
+    Exercises the direct path's sentinel masking: padded slots must never
+    surface as finite distances, and sentinels are restored to +inf.
+    """
+    index, _, queries, _ = _build_ivf(rng, n=150, parts=16)
+    # ma=1, partitions hold ~10 codes each; r=50 exceeds any single partition.
+    d, l = ivf.search_qadc(index, queries[:4], r=50, ma=1, direct=True)
+    d = np.asarray(d)
+    sizes = np.asarray(index.part_sizes)
+    assert np.isinf(d).any(), "expected +inf tail for short results"
+    for qi in range(4):
+        fin = np.isfinite(d[qi])
+        # finite block is a prefix (ascending sort puts inf last)
+        assert fin[: fin.sum()].all()
+        # number of finite results == probed partition's real size (<= r)
+        assert fin.sum() <= max(sizes)
+    # labels of finite results are valid ids
+    lab = np.asarray(l)
+    for qi in range(4):
+        fin = np.isfinite(d[qi])
+        assert ((lab[qi][fin] >= 0) & (lab[qi][fin] < index.n)).all()
+
+
+def test_ivf_direct_labels_multiquery(rng):
+    """Direct-path label reconstruction (select-accumulate over assignments +
+    flat element gather) across a batch with distinct probe sets."""
+    index, _, queries, _ = _build_ivf(rng)
+    d_ref, l_ref = ivf.search_adc(index, queries[:6], r=30, ma=3)
+    d, l = ivf.search_qadc(index, queries[:6], r=30, ma=3, direct=True)
+    np.testing.assert_array_equal(np.asarray(l), np.asarray(l_ref))
+    np.testing.assert_allclose(np.asarray(d), np.asarray(d_ref), atol=1e-4)
+
+
 def test_ivf_direct_auto_gate(rng, monkeypatch):
     """direct=False must never route to the direct impl; interpret=True with
     small probed volume must (the TPU auto-gate's selection arm)."""

@@ -198,3 +198,61 @@ def test_rows_adc_grouped_prefetch_parity(rng):
         pair = jnp.repeat(jnp.arange(gcap, dtype=jnp.int32), rpp)
         out_r = rows_adc_accumulate(rows, tl[pair], th[pair], cb=cb, interpret=True)
         np.testing.assert_array_equal(np.asarray(out_g), np.asarray(out_r))
+
+
+def test_grouped_prefetch_transpose_out_parity(rng):
+    """transpose_out=True must be an exact relayout of the default output:
+    vals_t[gi*G + s, wi] == vals[gi*C + wi, s] for every group/slot/window."""
+    import jax.numpy as jnp
+    from qadc_tpu.kernels.lut_scan import lut_scan_grouped_prefetch
+
+    for cb in (8, 16):
+        cpr = 128 // cb
+        lanes = 16 * cb
+        parts, gcap, gq = 8, 4, 128
+        rows_per_group = 512          # codes per partition
+        block_n, window = 256, 16
+        codes = jnp.asarray(
+            rng.integers(
+                0, 256, size=(parts * rows_per_group // cpr, 128), dtype=np.uint8
+            )
+        )
+        gp = jnp.asarray(rng.permutation(parts)[:gcap].astype(np.int32))
+        slab = jnp.asarray(
+            rng.integers(-127, 127, size=(gcap * lanes, gq)).astype(np.int8)
+        )
+        kw = dict(
+            rows_per_group=rows_per_group, cb=cb, block_n=block_n,
+            window=window, interpret=True,
+        )
+        vals = lut_scan_grouped_prefetch(codes, gp, slab, slab, **kw)
+        vals_t = lut_scan_grouped_prefetch(
+            codes, gp, slab, slab, transpose_out=True, **kw
+        )
+        c = rows_per_group // window
+        want = (
+            np.asarray(vals).reshape(gcap, c, gq).transpose(0, 2, 1)
+            .reshape(gcap * gq, c)
+        )
+        np.testing.assert_array_equal(np.asarray(vals_t), want)
+
+
+def test_lut_scan_reduce_transpose_out_parity(rng):
+    """Flat-kernel transpose_out layout: vals_t[qp, wi] == vals[wi, qp]."""
+    import jax.numpy as jnp
+    from qadc_tpu.kernels.lut_scan import build_scan_tables, lut_scan_reduce
+
+    for cb in (8, 16):
+        cpr = 128 // cb
+        n = 4096
+        codes = jnp.asarray(
+            rng.integers(0, 256, size=(n // cpr, 128), dtype=np.uint8)
+        )
+        qt = jnp.asarray(
+            rng.integers(0, 127, size=(16, 2 * cb, 16)).astype(np.int8)
+        )
+        tlo, thi = build_scan_tables(qt)
+        kw = dict(cb=cb, block_n=1024, window=16, interpret=True)
+        vals, _ = lut_scan_reduce(codes, tlo, thi, **kw)
+        vals_t, _ = lut_scan_reduce(codes, tlo, thi, transpose_out=True, **kw)
+        np.testing.assert_array_equal(np.asarray(vals_t), np.asarray(vals).T)
