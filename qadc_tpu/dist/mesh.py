@@ -41,9 +41,7 @@ def maybe_init_distributed(
     """
     import os
 
-    from jax._src import distributed as _dist
-
-    if _dist.global_state.client is not None:  # already initialized
+    if jax.distributed.is_initialized():  # already initialized
         return jax.process_count() > 1
 
     coordinator_address = coordinator_address or os.environ.get("QADC_COORDINATOR")

@@ -147,7 +147,7 @@ def search_qadc_flat_sharded(
             cv, cl = window_search_rows(
                 codes_local, glabels, local_size, vals, rank_t, rr,
                 min(rr, local_rows // window), not rerank,
-                bn, window,
+                bn, window, interpret=interpret,
             )
         else:
             packed_local = row128_to_codes(codes_local, cb)

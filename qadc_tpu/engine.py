@@ -24,33 +24,28 @@ from qadc_tpu.index.flat import FlatIndex
 from qadc_tpu.index.ivf import IVFIndex
 
 
-def _time_chained_us(fn, queries, k_inner: int, iters: int) -> float:
-    """Time fn(queries) by chaining k_inner dependent calls inside one jit.
+def _time_fn_us(fn, index, queries, k_lo: int, k_hi: int, iters: int) -> float:
+    """µs per fn(index, queries) call via the shared device-side chain timer.
 
-    Each iteration perturbs the input by a scalar tap of the previous output,
-    so XLA cannot parallelize or elide iterations; one scalar readback fences
-    the whole chain. Returns µs per single fn call.
+    Delegates to eval.timing.fori_slope_seconds (fixed-cost-cancelling slope
+    over a traced-length fori_loop chain) — fixed-length unrolled chains
+    under-measure by up to ~60% on relayed TPUs because the relay overlaps
+    dispatch with execution. index/queries pass as jit ARGUMENTS so the
+    index arrays don't get embedded as HLO constants.
     """
-    import time
+    from qadc_tpu.eval.timing import fori_slope_seconds
 
-    @jax.jit
-    def chain(qs):
-        tap = jnp.float32(0)
-        for _ in range(k_inner):
-            out = fn(qs + tap * 1e-12)
-            leaf = jax.tree_util.tree_leaves(out)[0]
-            tap = jnp.nan_to_num(
-                leaf.ravel()[0].astype(jnp.float32), posinf=1.0, neginf=-1.0
-            )
-        return tap
+    def body(args, tap):
+        idx, qs = args
+        out = fn(idx, qs + tap * 1e-12)
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        return jnp.nan_to_num(
+            leaf.ravel()[0].astype(jnp.float32), posinf=1.0, neginf=-1.0
+        )
 
-    _ = float(chain(queries))  # compile + warm
-    best = float("inf")
-    for _ in range(iters):
-        t0 = time.perf_counter()
-        _ = float(chain(queries))
-        best = min(best, time.perf_counter() - t0)
-    return best / k_inner * 1e6
+    return fori_slope_seconds(
+        body, (index, queries), k_lo=k_lo, k_hi=k_hi, iters=iters
+    ) * 1e6
 
 
 class QueryEngine:
@@ -82,21 +77,26 @@ class QueryEngine:
         if not self.is_ivf and not isinstance(index, FlatIndex):
             raise TypeError(f"unsupported index type {type(index)}")
 
-    def _search(self, queries):
+    def _search_index(self, index, queries):
         if self.is_ivf:
             if self.adc_type == "qadc":
                 return ivf.search_qadc(
-                    self.index, queries, r=self.r, ma=self.ma, keep=self.keep,
+                    index, queries, r=self.r, ma=self.ma, keep=self.keep,
                     rerank=self.rerank,
                 )
-            return ivf.search_adc(self.index, queries, r=self.r, ma=self.ma)
+            return ivf.search_adc(index, queries, r=self.r, ma=self.ma)
         if self.adc_type == "qadc":
             return flat.search_qadc(
-                self.index, queries, r=self.r, keep=self.keep, rerank=self.rerank
+                index, queries, r=self.r, keep=self.keep, rerank=self.rerank
             )
-        return flat.search_adc(self.index, queries, r=self.r)
+        return flat.search_adc(index, queries, r=self.r)
 
-    def measure_phases(self, queries, k_inner: int = 8, iters: int = 2) -> QueryMetrics:
+    def _search(self, queries):
+        return self._search_index(self.index, queries)
+
+    def measure_phases(
+        self, queries, k_lo: int = 8, k_hi: int = 40, iters: int = 2
+    ) -> QueryMetrics:
         """Honest phase attribution: chained timing of CUMULATIVE prefixes.
 
         The reference times each phase in sequence inside one pipeline pass
@@ -107,10 +107,12 @@ class QueryEngine:
         construction (round-1 VERDICT weak #5: the old split re-ran the full
         pipeline inside 'scan').
 
-        Each prefix is timed as a K-iteration chain inside ONE jit (every
-        iteration's input depends on a scalar tap of the previous output) with
-        a single scalar readback as the fence — plain block_until_ready does
-        not fence device execution on relayed-TPU setups.
+        Each prefix is timed with the shared device-side fori_loop chain
+        timer (eval.timing.fori_slope_seconds): iteration i+1's input depends
+        on a scalar tap of iteration i's output, one scalar readback fences,
+        and the slope over two chain lengths cancels the relay's fixed
+        dispatch cost — plain block_until_ready does not fence device
+        execution on relayed-TPU setups.
 
         Args:
           queries: one (batch_size, dim) query batch to measure with.
@@ -122,20 +124,21 @@ class QueryEngine:
         queries = jnp.asarray(np.asarray(queries, np.float32)[: self.batch_size])
 
         if self.is_ivf:
-            def front(qs):
-                return ivf.assign_queries(self.index, qs, self.ma)
+            def front(idx, qs):
+                return ivf.assign_queries(idx, qs, self.ma)
         else:
-            def front(qs):
-                return self.index.pq.rotate(qs)
+            def front(idx, qs):
+                return idx.pq.rotate(qs)
 
-        def front_tables(qs):
-            out = front(qs)
+        def front_tables(idx, qs):
+            out = front(idx, qs)
             rot = out[1] if self.is_ivf else out
-            return adc_tables(rot, self.index.pq.centroids)
+            return adc_tables(rot, idx.pq.centroids)
 
-        t_front = _time_chained_us(front, queries, k_inner, iters)
-        t_tables = _time_chained_us(front_tables, queries, k_inner, iters)
-        t_full = _time_chained_us(self._search, queries, k_inner, iters)
+        args = (self.index, queries, k_lo, k_hi, iters)
+        t_front = _time_fn_us(front, *args)
+        t_tables = _time_fn_us(front_tables, *args)
+        t_full = _time_fn_us(self._search_index, *args)
         table_us = max(t_tables - t_front, 0.0)
         scan_us = max(t_full - t_tables, 0.0)
         metrics = QueryMetrics()

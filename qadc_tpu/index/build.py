@@ -32,6 +32,37 @@ from qadc_tpu.ops.knn import assign_nearest
 from qadc_tpu.quantizers.pq import encode
 
 
+def repad_partitions(index: IVFIndex, part_pad: int) -> IVFIndex:
+    """Re-pad an IVF index's partitions to a target part_pad.
+
+    Preserves the tail-repeat quirk (repeat last code / clamp label,
+    simd_layout.hpp:47-50). part_pad must be a multiple of PART_ALIGN and
+    >= max_part_size; used by geometry tests and the multichip dryrun to
+    exercise specific block geometries.
+    """
+    p = index.part_count
+    cb = index.pq.code_size
+    cpr = 128 // cb
+    codes = np.asarray(index.codes).reshape(p, -1, cb)
+    labels = np.asarray(index.labels)
+    sizes = np.asarray(index.part_sizes)
+    rows = np.arange(part_pad)[None, :]
+    last = np.maximum(sizes, 1)[:, None] - 1
+    src = np.minimum(rows, np.minimum(last, codes.shape[1] - 1))
+    return IVFIndex(
+        pq=index.pq,
+        coarse_centroids=index.coarse_centroids,
+        codes=jnp.asarray(
+            np.take_along_axis(codes, src[:, :, None], axis=1)
+            .reshape(p, part_pad // cpr, 128)
+        ),
+        labels=jnp.asarray(np.take_along_axis(labels, src, axis=1)),
+        part_sizes=index.part_sizes,
+        n=index.n,
+        max_part_size=index.max_part_size,
+    )
+
+
 class FlatBuilder:
     """Accumulate encoded chunks; one concat + re-layout at finalize."""
 

@@ -248,13 +248,20 @@ def _search_adc_recon(index: FlatIndex, queries, r: int):
         # windows fully therefore contains the exact top-rk; ranking the
         # expansion is exact — and the expensive top_k runs over chunk/W
         # columns instead of chunk. Windows are strided (col = wi + t*g) so
-        # the reduce needs no small-minor reshape.
-        wmin = jnp.min(d.reshape(q, w, g), axis=1)             # (Q, g)
-        _, selw = jax.lax.top_k(-wmin, rk)                     # (Q, rk) window ids
-        cols = (
-            selw[:, :, None] + jnp.arange(w, dtype=jnp.int32)[None, None, :] * g
-        ).reshape(q, rk * w)
-        cv = jnp.take_along_axis(d, cols, axis=1)              # (Q, rk*W)
+        # the reduce needs no small-minor reshape. When rk >= g (small
+        # chunks, e.g. n_pad=1024*odd at r=100) every window wins: skip the
+        # screen and rank the whole chunk — top_k(k > g) would crash.
+        if rk < g:
+            wmin = jnp.min(d.reshape(q, w, g), axis=1)         # (Q, g)
+            _, selw = jax.lax.top_k(-wmin, rk)                 # (Q, rk) window ids
+            cols = (
+                selw[:, :, None]
+                + jnp.arange(w, dtype=jnp.int32)[None, None, :] * g
+            ).reshape(q, rk * w)
+            cv = jnp.take_along_axis(d, cols, axis=1)          # (Q, rk*W)
+        else:
+            cols = jnp.broadcast_to(col[None, :], (q, chunk))
+            cv = d
         cl = jnp.minimum(cols + i * chunk, max(index.n - 1, 0))
         cv2, cl2 = topk_smallest(cv, cl, rk)
         return merge_topk(bv, bl, cv2, cl2, r)

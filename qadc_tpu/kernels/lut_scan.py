@@ -141,7 +141,9 @@ def _expand_consts(cb: int):
     return jnp.asarray(e, jnp.bfloat16), jnp.asarray(jpat)
 
 
-def _accumulate_rows(raw, cb, tlo, thi, jpat_ref, e_ref, acc_dtype):
+def _accumulate_rows_generic(
+    raw, cb, tlo, thi, jpat_ref, e_ref, acc_dtype, *, int8_expand
+):
     """Distances straight from (R, 128) storage rows against table slabs.
 
     The deinterleave and lane expansion fuse into ONE step: per in-row code
@@ -150,30 +152,39 @@ def _accumulate_rows(raw, cb, tlo, thi, jpat_ref, e_ref, acc_dtype):
     (all at lane offset 0 — Mosaic rejects offset concats) giving the one-hot
     pre-image in c-major slot order. All intermediates are full-lane; no
     rolls, no narrow (BLK, cb) tensors.
+
+    int8_expand: run the expansion matmuls int8 x int8 -> int32 (2x the bf16
+    MXU rate on v5e) with integer compares (no f32 round trips). Measured
+    1M x 128q m=16: 0.41 ms vs 0.56 ms for the bf16 variant (slope-fit
+    timing; see docs/kernels.md). For float tables (acc_dtype f32) the
+    expansion still runs int8; only the accumulation matmuls use f32
+    one-hots against the f32 tables.
     """
     cpr = 128 // cb
-    lanes = cb * 16
+    exp_in = jnp.int8 if int8_expand else jnp.bfloat16
+    exp_out = jnp.int32 if int8_expand else jnp.float32
     r32 = raw.astype(jnp.int32)
-    lo_raw = (r32 & 0x0F).astype(jnp.bfloat16)   # (R, 128)
-    hi_raw = (r32 >> 4).astype(jnp.bfloat16)
+    lo_raw = (r32 & 0x0F).astype(exp_in)          # (R, 128) nibble values
+    hi_raw = (r32 >> 4).astype(exp_in)
     e = e_ref[...]                                # (cpr*128, lanes)
-    rep_lo = jnp.concatenate(
-        [
-            jnp.dot(lo_raw, e[c * 128 : (c + 1) * 128, :],
-                    preferred_element_type=jnp.float32)
-            for c in range(cpr)
-        ],
-        axis=0,
-    )                                             # (BLK, lanes) slot order
-    rep_hi = jnp.concatenate(
-        [
-            jnp.dot(hi_raw, e[c * 128 : (c + 1) * 128, :],
-                    preferred_element_type=jnp.float32)
-            for c in range(cpr)
-        ],
-        axis=0,
-    )
+    if int8_expand:
+        e = e.astype(jnp.int8)
+
+    def expand(x):                                # (BLK, lanes) slot order
+        return jnp.concatenate(
+            [
+                jnp.dot(x, e[c * 128 : (c + 1) * 128, :],
+                        preferred_element_type=exp_out)
+                for c in range(cpr)
+            ],
+            axis=0,
+        )
+
+    rep_lo = expand(lo_raw)
+    rep_hi = expand(hi_raw)
     jp = jpat_ref[0:1, :]
+    if int8_expand:
+        jp = jp.astype(jnp.int32)
     oh_dtype = jnp.int8 if acc_dtype == jnp.int32 else jnp.float32
     oh_lo = (rep_lo == jp).astype(oh_dtype)
     oh_hi = (rep_hi == jp).astype(oh_dtype)
@@ -181,45 +192,8 @@ def _accumulate_rows(raw, cb, tlo, thi, jpat_ref, e_ref, acc_dtype):
     return acc + jnp.dot(oh_hi, thi, preferred_element_type=acc_dtype)
 
 
-def _accumulate_rows_int8(raw, cb, tlo, thi, jpat_ref, e_ref, acc_dtype):
-    """int8 MXU accumulate: int8 selector matmuls + int8 one-hot matmuls.
-
-    Same math as _accumulate_rows, but the expansion matmuls run int8 x int8
-    -> int32 (2x the bf16 MXU rate on v5e) and the compares stay integer (no
-    f32 round trips). Measured 1M x 128q m=16: 0.41 ms vs 0.56 ms for the
-    bf16 variant (slope-fit timing; see docs/kernels.md).
-
-    For float tables (acc_dtype f32) the expansion still runs int8; only the
-    accumulation matmuls use f32 one-hots against the f32 tables.
-    """
-    cpr = 128 // cb
-    lanes = cb * 16
-    r32 = raw.astype(jnp.int32)
-    lo_raw = (r32 & 0x0F).astype(jnp.int8)        # (R, 128) nibble values
-    hi_raw = (r32 >> 4).astype(jnp.int8)
-    e = e_ref[...].astype(jnp.int8)
-    rep_lo = jnp.concatenate(
-        [
-            jnp.dot(lo_raw, e[c * 128 : (c + 1) * 128, :],
-                    preferred_element_type=jnp.int32)
-            for c in range(cpr)
-        ],
-        axis=0,
-    )                                             # (BLK, lanes) slot order
-    rep_hi = jnp.concatenate(
-        [
-            jnp.dot(hi_raw, e[c * 128 : (c + 1) * 128, :],
-                    preferred_element_type=jnp.int32)
-            for c in range(cpr)
-        ],
-        axis=0,
-    )
-    jp = jpat_ref[0:1, :].astype(jnp.int32)
-    oh_dtype = jnp.int8 if acc_dtype == jnp.int32 else jnp.float32
-    oh_lo = (rep_lo == jp).astype(oh_dtype)
-    oh_hi = (rep_hi == jp).astype(oh_dtype)
-    acc = jnp.dot(oh_lo, tlo, preferred_element_type=acc_dtype)
-    return acc + jnp.dot(oh_hi, thi, preferred_element_type=acc_dtype)
+_accumulate_rows = functools.partial(_accumulate_rows_generic, int8_expand=False)
+_accumulate_rows_int8 = functools.partial(_accumulate_rows_generic, int8_expand=True)
 
 
 def _window_min(acc, window: int):
@@ -530,7 +504,10 @@ def _rows_adc_body(raw_u8, tlo, thi, *, cb):
     serves). All full-lane ops: no narrow (BLK, cb) slices (pltpu.repeat of
     one measured ~50x slower), no HBM-materialized tiled tables (gathering
     pre-tiled (A, 16*128) rows cost ~2.5 ms/batch at SIFT1M geometry).
-    Tables wider than 128 lanes (cb=16) process as H=16*cb/128 halves.
+    Tables wider than 128 lanes (cb=16) process as H=16*cb/128 halves;
+    narrower ones (cb<8) arrive pre-repeated to 128 lanes (the repetition
+    period 16*cb divides 128, so the same roll schedule serves — see
+    _rows_adc_body_halves' n_j).
     """
     lanes_t = tlo.shape[1]
     h_count = lanes_t // 128
@@ -550,7 +527,12 @@ def _rows_adc_body_halves(raw_u8, tlo_halves, thi_halves, *, cb):
     128 fails Mosaic layout inference ("Invalid input layout" on
     vector.broadcast) — the cb=16 / M=32 configs hit this.
     """
-    cpr = 128 // cb
+    # n_j: distinct table entries served per 128-lane half. cb>=8: 128/cb
+    # j-values per half (== cpr). cb<8: the 16*cb-lane table repeats to fill
+    # 128 lanes, so only 16 distinct entries exist and the roll schedule is
+    # periodic with period 16 (roll by 16*cb lanes is the identity on the
+    # repeated table) — 16 rolls, modulus 16, no range masks.
+    n_j = min(16, 128 // cb)
     raw = raw_u8.astype(jnp.int32)
     lo = raw & 0x0F
     hi = raw >> 4
@@ -561,20 +543,20 @@ def _rows_adc_body_halves(raw_u8, tlo_halves, thi_halves, *, cb):
     for h in range(h_count):
         tlo_h = tlo_halves[h]
         thi_h = thi_halves[h]
-        lo_h = lo - h * cpr                      # in [0, cpr) when in half h
-        hi_h = hi - h * cpr
+        lo_h = lo - h * n_j                      # in [0, n_j) when in half h
+        hi_h = hi - h * n_j
         # Roll-relative shift, hoisted out of the dd loop (one mod each).
-        lo_rel = (lo_h - c_lane) % cpr
-        hi_rel = (hi_h - c_lane) % cpr
+        lo_rel = (lo_h - c_lane) % n_j
+        hi_rel = (hi_h - c_lane) % n_j
         if h_count == 1:
             # Single half: every nibble value is in range — the in-range
             # masks are constant-true and the VPU compare+and per pass is
             # pure overhead (~20% of kernel time at cb=8, measured).
             lo_in = hi_in = None
         else:
-            lo_in = (lo_h >= 0) & (lo_h < cpr)
-            hi_in = (hi_h >= 0) & (hi_h < cpr)
-        for dd in range(cpr):
+            lo_in = (lo_h >= 0) & (lo_h < n_j)
+            hi_in = (hi_h >= 0) & (hi_h < n_j)
+        for dd in range(n_j):
             # roll(t, -dd*cb)[l] = t[(l + dd*cb) % 128] = t[(c+dd)%cpr*cb + b]
             take_lo = lo_rel == dd
             take_hi = hi_rel == dd
@@ -586,7 +568,7 @@ def _rows_adc_body_halves(raw_u8, tlo_halves, thi_halves, *, cb):
                 + jnp.where(take_lo, tlo_h, 0.0)
                 + jnp.where(take_hi, thi_h, 0.0)
             )
-            if dd + 1 < cpr:
+            if dd + 1 < n_j:
                 tlo_h = pltpu.roll(tlo_h, 128 - cb, axis=1)
                 thi_h = pltpu.roll(thi_h, 128 - cb, axis=1)
     return acc
@@ -621,6 +603,14 @@ def rows_adc_accumulate(rows, tlo_c, thi_c, cb: int = 8, interpret: bool = False
     per code with a selector matmul. Pads A to the block size internally."""
     a = rows.shape[0]
     lanes_t = 16 * cb
+    if lanes_t < 128:
+        # Narrow tables (cb<8, e.g. sq_count=8): repeat to 128 lanes so the
+        # kernel's roll schedule applies (16*cb divides 128, so the repeated
+        # table is roll-periodic — see _rows_adc_body_halves).
+        rep = 128 // lanes_t
+        tlo_c = jnp.tile(tlo_c, (1, rep))
+        thi_c = jnp.tile(thi_c, (1, rep))
+        lanes_t = 128
     blk = 512
     a_pad = -(-a // blk) * blk
     if a_pad != a:
@@ -670,6 +660,14 @@ def rows_adc_grouped_prefetch(
     """
     gcap = group_part.shape[0]
     lanes_t = 16 * cb
+    if lanes_t < 128:
+        # Narrow tables (cb<8): repeat to 128 lanes; the repeated table is
+        # roll-periodic so the kernel schedule applies unchanged (see
+        # _rows_adc_body_halves' n_j).
+        rep = 128 // lanes_t
+        tlo_c = jnp.tile(tlo_c, (1, rep))
+        thi_c = jnp.tile(thi_c, (1, rep))
+        lanes_t = 128
     h_count = lanes_t // 128
     blk = math.gcd(512, rows_per_part)
     nblocks = rows_per_part // blk

@@ -58,6 +58,10 @@ class SearchServer:
             raise ValueError("Quick ADC requires sq_bits == 4")
         self._q: queue.Queue = queue.Queue()
         self._closed = False
+        # Guards the closed-check + enqueue in submit() against the worker's
+        # fail-shutdown (set _closed, drain queue): without it a submit that
+        # passed the check could enqueue after the drain and never resolve.
+        self._lock = threading.Lock()
         self._batches = 0  # served batch count (for tests/metrics)
         self._worker = threading.Thread(target=self._loop, daemon=True)
         self._worker.start()
@@ -105,34 +109,39 @@ class SearchServer:
                 dists, labels = self._search(batch)
                 dists, labels = np.asarray(dists), np.asarray(labels)
             except Exception as e:  # noqa: BLE001 — fail every caller, not silently
-                self._closed = True
                 for _, fut in pending:
                     fut.set_exception(e)
-                # Drain + fail anything already queued so no caller blocks forever.
-                while True:
-                    try:
-                        nxt = self._q.get_nowait()
-                    except queue.Empty:
-                        return
-                    if nxt is not None:
-                        nxt[1].set_exception(e)
+                # Close + drain atomically vs submit(): once the lock is
+                # released, any submit sees _closed and fails fast, so
+                # nothing can enqueue after the drain and block forever.
+                with self._lock:
+                    self._closed = True
+                    while True:
+                        try:
+                            nxt = self._q.get_nowait()
+                        except queue.Empty:
+                            return
+                        if nxt is not None:
+                            nxt[1].set_exception(e)
             self._batches += 1
             for i, (_, fut) in enumerate(pending):
                 fut.set_result((dists[i], labels[i]))
 
     def submit(self, query) -> Future:
         """Queue one query vector; resolves to (dists (r,), labels (r,))."""
-        if self._closed:
-            raise RuntimeError("server closed")
         query = np.asarray(query, np.float32).reshape(-1)
         if query.shape[0] != self.index.pq.dim:
             raise ValueError(f"query dim {query.shape[0]} != index dim {self.index.pq.dim}")
         fut: Future = Future()
-        self._q.put((query, fut))
+        with self._lock:
+            if self._closed:
+                raise RuntimeError("server closed")
+            self._q.put((query, fut))
         return fut
 
     def close(self):
-        self._closed = True
+        with self._lock:
+            self._closed = True
         self._q.put(None)
         self._worker.join(timeout=30)
 

@@ -102,3 +102,28 @@ def test_16bit_ivf_search(rng):
     _, labels = ivf.search_adc(index, queries, r=20, ma=4)
     rec = recall_at_r(np.asarray(labels), np.asarray(gt))
     assert rec > 0.7, rec
+
+
+def test_16bit_small_chunk_r_exceeds_windows(rng):
+    """r=100 with a small chunk (n_pad=3072 -> chunk=1024, g=64 windows):
+    the window screen must be skipped (rk >= g) instead of top_k crashing,
+    and results stay exact vs the decode oracle."""
+    import jax.numpy as jnp
+    from qadc_tpu.core.packing import unpack_codes
+    from qadc_tpu.index.flat import decode_rows
+
+    m, dim, n = 4, 16, 3000
+    base = rng.normal(size=(n, dim)).astype(np.float32)
+    queries = base[:6] + 0.01 * rng.normal(size=(6, dim)).astype(np.float32)
+    pq = _mini_pq16(rng, m, dim)
+    index = flat.add(flat.FlatIndex.create(pq), base)
+    d, l = flat.search_adc(index, queries, r=100)
+    # oracle: exact reconstruction distances
+    idx = unpack_codes(
+        np.asarray(index.codes).reshape(index.n_pad, pq.code_size)[:n], m, 16
+    )
+    dec = np.asarray(decode_rows(pq, jnp.asarray(idx)))
+    rot = np.asarray(pq.rotate(jnp.asarray(queries)))
+    dm = ((rot[:, None, :] - dec[None, :, :]) ** 2).sum(-1)
+    order = np.argsort(dm, axis=1)[:, :100]
+    assert (np.asarray(l) == order).mean() > 0.999

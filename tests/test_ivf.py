@@ -192,3 +192,28 @@ def test_ivf_direct_auto_gate(rng, monkeypatch):
     assert not calls
     ivf_mod.search_qadc(index, queries[:1], r=10, ma=2, interpret=True)
     assert calls  # small volume + interpret -> direct auto-selected
+
+
+def test_ivf_direct_sq_count_8(rng):
+    """Direct path with sq_count=8 (cb=4): pre-fix the narrow-table kernel
+    silently returned all-zero distances; must match search_adc exactly."""
+    import jax
+    import jax.numpy as jnp
+    from qadc_tpu.ops.knn import assign_nearest
+
+    D, N = 64, 4000
+    A = rng.normal(size=(32, D)).astype(np.float32)
+    base = (rng.normal(size=(N, 32)).astype(np.float32) @ A).astype(np.float32)
+    qs = (rng.normal(size=(2, 32)).astype(np.float32) @ A).astype(np.float32)
+    coarse = ivf.train_coarse(jax.random.PRNGKey(1), base, part_count=16, iters=5)
+    a = np.asarray(assign_nearest(base, coarse))
+    pq = train_pq(
+        jax.random.PRNGKey(0), base - np.asarray(coarse)[a], 8, 4, iters=4
+    )
+    index = ivf.add(ivf.IVFIndex.create(pq, coarse), base)
+    d0, l0 = ivf.search_adc(index, jnp.asarray(qs), r=10, ma=4)
+    d1, l1 = ivf.search_qadc(
+        index, jnp.asarray(qs), r=10, ma=4, direct=True, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d0), atol=1e-3)
+    np.testing.assert_array_equal(np.asarray(l1), np.asarray(l0))

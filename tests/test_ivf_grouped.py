@@ -82,25 +82,9 @@ def test_grouped_no_rerank_exact(built):
 
 def _repad(index, part_pad: int):
     """Re-pad an index's partitions to a target part_pad (tail-repeat quirk)."""
-    p = index.part_count
-    cb = index.pq.code_size
-    codes = np.asarray(index.codes).reshape(p, -1, cb)
-    labels = np.asarray(index.labels)
-    sizes = np.asarray(index.part_sizes)
-    rows = np.arange(part_pad)[None, :]
-    last = np.maximum(sizes, 1)[:, None] - 1
-    src = np.minimum(rows, np.minimum(last, codes.shape[1] - 1))
-    codes3 = np.take_along_axis(codes, src[:, :, None], axis=1)
-    labels3 = np.take_along_axis(labels, src, axis=1)
-    return ivf.IVFIndex(
-        pq=index.pq,
-        coarse_centroids=index.coarse_centroids,
-        codes=jax.numpy.asarray(codes3.reshape(p, -1, 128)),
-        labels=jax.numpy.asarray(labels3),
-        part_sizes=index.part_sizes,
-        n=index.n,
-        max_part_size=index.max_part_size,
-    )
+    from qadc_tpu.index.build import repad_partitions
+
+    return repad_partitions(index, part_pad)
 
 
 def test_grouped_geometry_sweep(built):

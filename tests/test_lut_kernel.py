@@ -256,3 +256,49 @@ def test_lut_scan_reduce_transpose_out_parity(rng):
         vals, _ = lut_scan_reduce(codes, tlo, thi, **kw)
         vals_t, _ = lut_scan_reduce(codes, tlo, thi, transpose_out=True, **kw)
         np.testing.assert_array_equal(np.asarray(vals_t), np.asarray(vals).T)
+
+
+def test_rows_adc_narrow_cb_parity(rng):
+    """cb < 8 (e.g. sq_count=8 -> cb=4): the compact table is narrower than
+    128 lanes and must be repeated, not silently dropped (pre-fix the kernel
+    returned all zeros for these configs). Parity vs the jnp fallback."""
+    import jax.numpy as jnp
+    from qadc_tpu.index.ivf import rows_adc, tile_tables_rows
+
+    for cb in (2, 4):
+        m = 2 * cb
+        a = 64
+        rows = jnp.asarray(rng.integers(0, 256, size=(a, 128), dtype=np.uint8))
+        tables = jnp.asarray(rng.normal(size=(a, m, 16)).astype(np.float32))
+        tlo, thi = tile_tables_rows(tables)
+        d_jnp = rows_adc(rows, tlo, thi, cb, interpret=False)  # jnp path (cpu)
+        d_krn = rows_adc(rows, tlo, thi, cb, interpret=True)   # pallas interpret
+        np.testing.assert_allclose(
+            np.asarray(d_krn), np.asarray(d_jnp), atol=1e-3
+        )
+        assert float(np.abs(np.asarray(d_krn)).max()) > 0.0
+
+
+def test_rows_adc_grouped_prefetch_narrow_cb(rng):
+    """Grouped-prefetch variant of the cb<8 repetition fix."""
+    import jax.numpy as jnp
+    from qadc_tpu.kernels.lut_scan import (
+        rows_adc_accumulate, rows_adc_grouped_prefetch,
+    )
+    from qadc_tpu.index.ivf import tile_tables_rows
+
+    cb, m = 4, 8
+    parts, gcap, rpp = 8, 4, 16
+    codes = jnp.asarray(
+        rng.integers(0, 256, size=(parts * rpp, 128), dtype=np.uint8)
+    )
+    gp = jnp.asarray(rng.permutation(parts)[:gcap].astype(np.int32))
+    tables = jnp.asarray(rng.normal(size=(gcap, m, 16)).astype(np.float32))
+    tlo, thi = tile_tables_rows(tables)
+    out_g = rows_adc_grouped_prefetch(
+        codes, gp, tlo, thi, rows_per_part=rpp, cb=cb, interpret=True
+    )
+    rows = codes.reshape(parts, rpp, 128)[gp].reshape(gcap * rpp, 128)
+    pair = jnp.repeat(jnp.arange(gcap, dtype=jnp.int32), rpp)
+    out_r = rows_adc_accumulate(rows, tlo[pair], thi[pair], cb=cb, interpret=True)
+    np.testing.assert_allclose(np.asarray(out_g), np.asarray(out_r), atol=1e-4)
