@@ -161,15 +161,36 @@ def assign_queries(index: IVFIndex, queries, ma: int):
     return parts, rot
 
 
-@partial(jax.jit, static_argnames=("r", "ma"))
-def search_adc(index: IVFIndex, queries, r: int = 100, ma: int = 1):
+def search_adc(
+    index: IVFIndex, queries, r: int = 100, ma: int = 1,
+    grouped: bool | None = None, group_size: int = 128,
+    interpret: bool = False,
+):
     """Conventional float ADC IVF search (reference: db_query.cpp).
 
-    4/8-bit: one-hot x table einsum per probed partition. 16-bit: the ADC
+    4/8-bit: one-hot x table einsum per probed partition; 8-bit on TPU
+    routes through the grouped Pallas kernel (lut_scan8_grouped_prefetch)
+    with an exact-f32 rerank of the screened candidates. 16-bit: the ADC
     distance is computed as the squared distance to the PQ reconstruction
     (decode = per-sq row gathers; see index.flat._search_adc_recon) — 65536-
     entry tables and one-hots never materialize.
     """
+    if grouped is None:
+        grouped = (
+            (jax.default_backend() == "tpu" or interpret)
+            and index.pq.sq_bits == 8
+            and 128 % index.pq.sq_count == 0
+            and index.part_pad % 512 == 0
+        )
+    if grouped:
+        return _search_adc8_grouped_impl(
+            index, queries, r, ma, group_size, interpret=interpret
+        )
+    return _search_adc_jnp_impl(index, queries, r, ma)
+
+
+@partial(jax.jit, static_argnames=("r", "ma"))
+def _search_adc_jnp_impl(index: IVFIndex, queries, r: int = 100, ma: int = 1):
     parts, rot = assign_queries(index, queries, ma)
     m = index.pq.sq_count
     wide = index.pq.sq_bits == 16
@@ -219,6 +240,129 @@ def search_adc(index: IVFIndex, queries, r: int = 100, ma: int = 1):
     init = (jnp.full((q, r), jnp.inf, jnp.float32), jnp.zeros((q, r), jnp.int32))
     vals, labs = jax.lax.fori_loop(0, ma, scan_one_assignment, init)
     return vals, labs
+
+
+@partial(
+    jax.jit,
+    static_argnames=("r", "ma", "group_size", "window", "block_n", "interpret"),
+)
+def _search_adc8_grouped_impl(
+    index: IVFIndex, queries, r: int, ma: int, group_size: int,
+    window: int | None = None, block_n: int = 1024, interpret: bool = False,
+):
+    """8-bit IVF ADC via the grouped Pallas kernel (MoE-style routing).
+
+    The jnp per-assignment path materializes (Q, part_pad, M*256) one-hots in
+    HBM (~6 GB/batch at SIFT1M geometry); here each probed partition is
+    scanned ONCE in VMEM against its group's (m*256, G) bf16 table slab
+    (kernels.lut_scan8_grouped_prefetch). Per-window argmin candidates are
+    screened at query level and reranked with exact-f32 table gathers, so the
+    returned top-r is exact among screened candidates — same contract as the
+    flat 8-bit path (window collisions lose a true top-r entry with
+    probability ~R^2*W/2N; see ops/topk.py). Reference:
+    scan_standard<uint8_t> over probed partitions (query_common.hpp:92-118).
+    """
+    from qadc_tpu.core.packing import gather_codes_row128, unpack_codes
+    from qadc_tpu.index.routing import route_queries
+    from qadc_tpu.kernels.lut_scan import (
+        build_scan8_tables,
+        lut_scan8_grouped_prefetch,
+        slots_to_rows,
+        window_slots,
+    )
+
+    parts, rot = assign_queries(index, queries, ma)
+    tables = adc_tables(rot, index.pq.centroids)          # (Q, ma, M, 256) f32
+    m = index.pq.sq_count
+    q = queries.shape[0]
+    qa = q * ma
+    part_pad = index.part_pad
+    cpr = 128 // m
+    lanes = m * 256
+    block_n = math.gcd(block_n, part_pad)
+    if window is None:
+        window = min(cpr, 16)
+
+    routed = route_queries(parts, index.part_count, group_size)
+    gcap, g = routed.gcap, routed.group_size
+
+    # Per-pair bf16 table columns into group slots (scatter pair IDS, gather
+    # table rows — same trick as the 4-bit grouped path).
+    t8 = build_scan8_tables(tables.reshape(qa, m, 256), q_pad=qa).T  # (QA, lanes)
+    qa_g = routed.qa_group.reshape(qa)
+    qa_s = routed.qa_slot.reshape(qa)
+    slot_to_pair = jnp.zeros((gcap * g,), jnp.int32).at[qa_g * g + qa_s].set(
+        jnp.arange(qa, dtype=jnp.int32)
+    )
+    tg = (
+        t8[slot_to_pair].reshape(gcap, g, lanes)
+        .transpose(0, 2, 1).reshape(gcap * lanes, g)
+    )
+
+    vals_rows, slot_rows = lut_scan8_grouped_prefetch(
+        index.codes.reshape(-1, 128), routed.group_part, tg,
+        rows_per_group=part_pad, m=m, block_n=block_n, window=window,
+        interpret=interpret, transpose_out=True,
+    )
+    c = part_pad // window
+    cv = vals_rows[qa_g * g + qa_s]                       # (QA, C) [row gather]
+    sl = slot_rows[qa_g * g + qa_s]                       # (QA, C) local slots
+    rows_local = slots_to_rows(sl, block_n, m)            # (QA, C) in [0, part_pad)
+    p_of_pair = parts.reshape(qa)
+    sz = index.part_sizes[p_of_pair]                      # (QA,)
+    # A window is alive iff it covers at least one real row; padded argmin
+    # rows clamp to the last real code (tail-repeat padding duplicates it, so
+    # the clamped candidate's value/label are exactly that code's —
+    # reference's bh_push index clamp, simd_scan.hpp:63-73).
+    win_ids = jnp.arange(c, dtype=jnp.int32)
+    all_rows = slots_to_rows(window_slots(win_ids, block_n, window), block_n, m)
+    win_has_valid = jnp.min(all_rows, axis=1)[None, :] < sz[:, None]
+    # Dedup the clamp: a clamped argmin means every padded row (all equal to
+    # the last real code) beat the window's real rows, so ALL such windows
+    # would report the same duplicate — for a nearly-empty partition whose
+    # last code is the query's NN that floods the top-r. Keep the clamped
+    # candidate only in the ONE window that contains the real last row
+    # (others are masked; their real rows rank >= the duplicate, the same
+    # loss class as window-collision screening).
+    clamped = rows_local >= sz[:, None]
+    last = jnp.maximum(sz - 1, 0)
+    gr = block_n // window
+    rblk = block_n // cpr
+    pb = last % block_n
+    slot_last = (pb % cpr) * rblk + pb // cpr
+    wi_last = (last // block_n) * gr + slot_last % gr     # (QA,)
+    keep = (~clamped) | (win_ids[None, :] == wi_last[:, None])
+    cv = jnp.where(win_has_valid & keep, cv, jnp.inf)
+    rows_local = jnp.minimum(rows_local, last[:, None])
+
+    # Query-level screen of 2r candidates across the query's ma partitions;
+    # the exact rerank below absorbs the approximation (and the kernel's
+    # bf16-table rounding).
+    wq = min(2 * r, ma * c)
+    cv_q = cv.reshape(q, ma * c)
+    screen_v, selq = screen_smallest(cv_q, wq)            # (Q, wq) into ma*C
+    sel_ai = selq // c
+    sel_pair = jnp.arange(q, dtype=jnp.int32)[:, None] * ma + sel_ai
+    cand_local = jnp.take_along_axis(rows_local.reshape(q, ma * c), selq, axis=1)
+    sel_part = _select_cols(parts, sel_ai, ma)            # (Q, wq)
+    cand_global = sel_part * part_pad + cand_local        # (Q, wq) code rows
+    cand_lab = index.labels.reshape(-1)[cand_global]
+
+    # Exact-f32 rerank: one flat element gather per (candidate, sub-quantizer)
+    # from the per-pair f32 tables (Q*wq*m elements).
+    cand_codes = gather_codes_row128(
+        index.codes.reshape(-1, 128), cand_global, m
+    )                                                     # (Q, wq, m) u8
+    idx8 = unpack_codes(cand_codes, m, 8)                 # (Q, wq, m) int32
+    tab_flat = tables.reshape(qa * m * 256)
+    m_iota = jnp.arange(m, dtype=jnp.int32)
+    flat_ix = (sel_pair[:, :, None] * m + m_iota) * 256 + idx8
+    fd = jnp.sum(tab_flat[flat_ix], axis=-1)              # (Q, wq) f32
+    fd = jnp.where(jnp.isfinite(screen_v), fd, jnp.inf)
+    if r > wq:  # tiny probed volume: pad to the (Q, r) contract
+        fd = jnp.pad(fd, [(0, 0), (0, r - wq)], constant_values=jnp.inf)
+        cand_lab = jnp.pad(cand_lab, [(0, 0), (0, r - wq)])
+    return topk_smallest(fd, cand_lab, r)
 
 
 @partial(jax.jit, static_argnames=("r", "ma", "keep", "prefix_pad", "rerank", "saturate"))

@@ -835,6 +835,150 @@ def lut_scan8_reduce(
     return vals, slots_to_rows(slots, block_n, m)
 
 
+def _grouped_scan8_kernel(
+    codes_ref, t_ref, jpat_ref, e_ref, vals_ref, idx_ref,
+    *, window, m, nblocks, transpose_out=False,
+):
+    """Grouped 8-bit ADC scan block: the group's (m*256, G) bf16 table slab.
+
+    Same accumulate as _scan8_kernel (one-hot over 256 centroids per byte);
+    emits window min + GROUP-LOCAL arg slots (block i % nblocks covers the
+    group's slots [b*block_n, (b+1)*block_n)). transpose_out writes (G, g)
+    slot-major blocks — see _grouped_scan_kernel.
+    """
+    codes_c = _deinterleave(codes_ref[...], m)           # (BLK, M) slot order
+    blk = codes_c.shape[0]
+    g = blk // window
+
+    c = codes_c.astype(jnp.bfloat16)  # 0..255 exact in bf16
+    rep = jnp.dot(c, e_ref[...], preferred_element_type=jnp.float32)
+    jp = jpat_ref[0:1, :]
+    oh = (rep == jp).astype(jnp.bfloat16)
+    acc = jnp.dot(oh, t_ref[...], preferred_element_type=jnp.float32)
+
+    m_v = acc[0:g, :]
+    arg = jnp.zeros((g, acc.shape[1]), jnp.int32)
+    for w in range(1, window):
+        nxt = acc[w * g : (w + 1) * g, :]
+        take = nxt < m_v
+        m_v = jnp.where(take, nxt, m_v)
+        arg = jnp.where(take, w, arg)
+    base = (pl.program_id(0) % nblocks) * blk
+    g_iota = jax.lax.broadcasted_iota(jnp.int32, (g, acc.shape[1]), 0)
+    slots = base + arg * g + g_iota                      # group-local SLOT ids
+    if transpose_out:
+        vals_ref[...] = m_v.T
+        idx_ref[...] = slots.T
+    else:
+        vals_ref[...] = m_v
+        idx_ref[...] = slots
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "rows_per_group", "m", "block_n", "window", "interpret", "transpose_out",
+    ),
+)
+def lut_scan8_grouped_prefetch(
+    codes_rows,
+    group_part,
+    tables_g,
+    rows_per_group: int,
+    m: int = 8,
+    block_n: int = 256,
+    window: int = DEFAULT_WINDOW,
+    interpret: bool = False,
+    transpose_out: bool = False,
+):
+    """Grouped 8-bit conventional-ADC IVF scan, partitions read IN PLACE.
+
+    The 8-bit analog of lut_scan_grouped_prefetch (scalar-prefetch block
+    routing): each group scans its whole partition once against its (m*256, G)
+    bf16 table slab. Reference: scan_standard<uint8_t> over probed partitions
+    (query_common.hpp:92-118, db_query.cpp:17-46), inverted MoE-style.
+
+    Args:
+      codes_rows: (P * rows_per_group / cpr, 128) uint8 partition-major row128
+        storage (cpr = 128/m codes per row).
+      group_part: (GCAP,) int32 partition scanned by each group.
+      tables_g: (GCAP * m*256, G) bf16 group-major table slabs (per-pair
+        build_scan8_tables columns scattered to group slots).
+      rows_per_group: padded partition size in CODES (static).
+
+    Returns:
+      (vals, slots): (GCAP*rows_per_group/W, G) f32 window minima + int32
+      GROUP-LOCAL arg slots (map to partition rows with slots_to_rows);
+      (GCAP*G, C) slot-major with transpose_out.
+    """
+    cpr = 128 // m
+    lanes = m * 256
+    total_t, gq = tables_g.shape
+    gcap = total_t // lanes
+    assert group_part.shape == (gcap,), (group_part.shape, gcap)
+    if rows_per_group % block_n != 0:
+        raise ValueError(f"block_n {block_n} must divide rows_per_group {rows_per_group}")
+    if block_n % window != 0:
+        raise ValueError(f"block_n {block_n} not a multiple of window {window}")
+    nblocks = rows_per_group // block_n
+    g = block_n // window
+    r16 = block_n // cpr
+    e_np, jpat_np = _expand8_consts_np(m)
+    e = jnp.asarray(e_np, jnp.bfloat16)
+    jpat = jnp.asarray(jpat_np)
+
+    body = functools.partial(
+        _grouped_scan8_kernel, window=window, m=m, nblocks=nblocks,
+        transpose_out=transpose_out,
+    )
+
+    def kernel(gp_ref, *rest):  # scalar-prefetch ref first; body ignores it
+        body(*rest)
+
+    if transpose_out:
+        out_specs = [
+            pl.BlockSpec((gq, g), lambda i, gp: (i // nblocks, i % nblocks))
+            for _ in range(2)
+        ]
+        out_shape = [
+            jax.ShapeDtypeStruct((gcap * gq, rows_per_group // window), dt)
+            for dt in (jnp.float32, jnp.int32)
+        ]
+    else:
+        out_specs = [
+            pl.BlockSpec((g, gq), lambda i, gp: (i, 0)) for _ in range(2)
+        ]
+        out_shape = [
+            jax.ShapeDtypeStruct((gcap * rows_per_group // window, gq), dt)
+            for dt in (jnp.float32, jnp.int32)
+        ]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(gcap * nblocks,),
+        in_specs=[
+            pl.BlockSpec(
+                (r16, 128),
+                lambda i, gp: (gp[i // nblocks] * nblocks + i % nblocks, 0),
+            ),
+            pl.BlockSpec((lanes, gq), lambda i, gp: (i // nblocks, 0)),
+            pl.BlockSpec((8, lanes), lambda i, gp: (0, 0)),
+            pl.BlockSpec((m, lanes), lambda i, gp: (0, 0)),
+        ],
+        out_specs=out_specs,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * gcap * rows_per_group * lanes * gq,
+            bytes_accessed=gcap * rows_per_group * m + 2 * gcap * lanes * gq,
+            transcendentals=0,
+        ),
+    )(group_part, codes_rows, tables_g, jpat, e)
+
+
 @functools.partial(
     jax.jit, static_argnames=("r", "num_valid", "cb", "block_n", "window", "interpret")
 )

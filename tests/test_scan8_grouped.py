@@ -1,0 +1,159 @@
+"""Grouped 8-bit IVF ADC path (lut_scan8_grouped_prefetch +
+ivf._search_adc8_grouped_impl). Reference: scan_standard<uint8_t> over probed
+partitions (query_common.hpp:92-118), MoE-style inverted."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from qadc_tpu.index import ivf
+from qadc_tpu.ops.knn import assign_nearest, exact_knn
+from qadc_tpu.eval.recall import recall_at_r
+from qadc_tpu.quantizers.pq import train_pq
+
+
+@pytest.mark.parametrize("m", [4, 8, 16])
+def test_scan8_grouped_kernel_parity(rng, m):
+    """Grouped kernel == flat scan8 kernel run on the gathered partitions,
+    for every supported sq_count; both layouts."""
+    from qadc_tpu.kernels.lut_scan import (
+        build_scan8_tables,
+        lut_scan8_grouped_prefetch,
+        lut_scan8_reduce,
+        slots_to_rows,
+    )
+
+    cpr = 128 // m
+    parts, gcap, gq = 8, 4, 128
+    rows_per_group = 512
+    block_n, window = 256, min(cpr, 16)
+    codes = jnp.asarray(
+        rng.integers(
+            0, 256, size=(parts * rows_per_group // cpr, 128), dtype=np.uint8
+        )
+    )
+    gp = jnp.asarray(rng.permutation(parts)[:gcap].astype(np.int32))
+    tables = jnp.asarray(
+        rng.normal(size=(gq, m, 256)).astype(np.float32)
+    )
+    t8 = build_scan8_tables(tables)                     # (m*256, gq) bf16
+    # Group slabs: every group uses the same gq tables here (parity only).
+    tg = jnp.concatenate([t8] * gcap, axis=0)           # (gcap*m*256, gq)
+    vals_g, slots_g = lut_scan8_grouped_prefetch(
+        codes, gp, tg, rows_per_group=rows_per_group, m=m,
+        block_n=block_n, window=window, interpret=True,
+    )
+    vals_t, slots_t = lut_scan8_grouped_prefetch(
+        codes, gp, tg, rows_per_group=rows_per_group, m=m,
+        block_n=block_n, window=window, interpret=True, transpose_out=True,
+    )
+    c = rows_per_group // window
+    # Oracle: flat kernel on each gathered partition.
+    for gi in range(gcap):
+        pcodes = codes.reshape(parts, rows_per_group // cpr, 128)[int(gp[gi])]
+        v_ref, r_ref = lut_scan8_reduce(
+            pcodes, t8, m=m, block_n=block_n, window=window, interpret=True
+        )
+        v_blk = np.asarray(vals_g).reshape(gcap, c, gq)[gi]
+        s_blk = np.asarray(slots_g).reshape(gcap, c, gq)[gi]
+        np.testing.assert_array_equal(v_blk, np.asarray(v_ref))
+        np.testing.assert_array_equal(
+            np.asarray(slots_to_rows(jnp.asarray(s_blk), block_n, m)),
+            np.asarray(r_ref),
+        )
+        # transpose_out is an exact relayout
+        np.testing.assert_array_equal(
+            np.asarray(vals_t).reshape(gcap, gq, c)[gi], v_blk.T
+        )
+        np.testing.assert_array_equal(
+            np.asarray(slots_t).reshape(gcap, gq, c)[gi], s_blk.T
+        )
+
+
+def _build_ivf8(rng, n=20000, parts=32, m=8, queries=16):
+    D = 64
+    A = rng.normal(size=(32, D)).astype(np.float32)
+    mk = lambda k: (
+        rng.normal(size=(k, 32)).astype(np.float32) @ A
+        + 0.3 * rng.normal(size=(k, D)).astype(np.float32)
+    ).astype(np.float32)
+    base, qs = mk(n), mk(queries)
+    coarse = ivf.train_coarse(jax.random.PRNGKey(1), base, part_count=parts, iters=8)
+    a = np.asarray(assign_nearest(base, coarse))
+    pq = train_pq(
+        jax.random.PRNGKey(0), base - np.asarray(coarse)[a], m, 8, iters=6
+    )
+    index = ivf.add(ivf.IVFIndex.create(pq, coarse), base)
+    return index, base, qs
+
+
+def test_adc8_grouped_matches_jnp(rng):
+    """Grouped path: same recall as the exact jnp path; exact f32 distances
+    (values agree wherever labels agree); candidate losses bounded by the
+    window-collision contract."""
+    index, base, qs = _build_ivf8(rng)
+    d0, l0 = ivf.search_adc(index, jnp.asarray(qs), r=50, ma=8)
+    d1, l1 = ivf.search_adc(
+        index, jnp.asarray(qs), r=50, ma=8, grouped=True, interpret=True
+    )
+    d0, l0, d1, l1 = map(np.asarray, (d0, l0, d1, l1))
+    _, gt = exact_knn(jnp.asarray(qs), jnp.asarray(base), 1)
+    assert recall_at_r(l1, np.asarray(gt)) >= recall_at_r(l0, np.asarray(gt)) - 0.07
+    same = l0 == l1
+    assert same.mean() > 0.15  # heads agree modulo collision shifts
+    np.testing.assert_allclose(d1[same], d0[same], rtol=1e-5, atol=1e-3)
+    # top-1 must survive screening (its window is always selected)
+    np.testing.assert_array_equal(l1[:, 0], l0[:, 0])
+    np.testing.assert_allclose(d1[:, 0], d0[:, 0], rtol=1e-5, atol=1e-3)
+    overlap = np.mean(
+        [len(np.intersect1d(l0[i], l1[i])) / 50 for i in range(len(qs))]
+    )
+    assert overlap > 0.75, overlap
+
+
+def test_adc8_grouped_small_partitions_no_flood(rng):
+    """Mostly-empty partitions + a query whose NN is a partition's LAST real
+    code (the worst case for tail-repeat padding: every alive window's padded
+    rows duplicate the NN). The clamp dedup must bound duplicates to ~1 per
+    probed partition."""
+    index, base, qs = _build_ivf8(rng, n=600, parts=16)
+    # Adversarial queries: the last real code of each of 4 partitions.
+    sizes = np.asarray(index.part_sizes)
+    labels = np.asarray(index.labels)
+    hard_qs = []
+    for pid in range(4):
+        if sizes[pid] == 0:
+            continue
+        hard_qs.append(base[labels[pid, sizes[pid] - 1]])
+    hard_qs = np.stack(hard_qs)
+    r = 30
+    d1, l1 = ivf.search_adc(
+        index, jnp.asarray(hard_qs), r=r, ma=4, grouped=True, interpret=True
+    )
+    l1 = np.asarray(l1)
+    d1 = np.asarray(d1)
+    for qi in range(len(hard_qs)):
+        fin = np.isfinite(d1[qi])
+        labs = l1[qi][fin]
+        _, counts = np.unique(labs, return_counts=True)
+        # ma=4 probed partitions -> at most ~1 clamped survivor each
+        assert counts.max() <= 4, counts.max()
+        # and the NN itself is found
+        assert l1[qi, 0] in labs
+
+
+def test_adc8_grouped_m4_m16(rng):
+    """sq_count 4 and 16 (the reference's other 8-bit configs) through the
+    grouped path end-to-end."""
+    for m in (4, 16):
+        index, base, qs = _build_ivf8(rng, n=6000, parts=16, m=m, queries=8)
+        d0, l0 = ivf.search_adc(index, jnp.asarray(qs), r=20, ma=4)
+        d1, l1 = ivf.search_adc(
+            index, jnp.asarray(qs), r=20, ma=4, grouped=True, interpret=True
+        )
+        np.testing.assert_array_equal(np.asarray(l1)[:, 0], np.asarray(l0)[:, 0])
+        same = np.asarray(l0) == np.asarray(l1)
+        np.testing.assert_allclose(
+            np.asarray(d1)[same], np.asarray(d0)[same], rtol=1e-5, atol=1e-3
+        )
