@@ -73,7 +73,13 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--small", action="store_true", help="small shapes (CI)")
     ap.add_argument("--json", action="store_true", help="JSON lines output")
+    ap.add_argument(
+        "--cpu", action="store_true",
+        help="force the CPU backend (env vars are too late on this image)",
+    )
     args = ap.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     rng = np.random.default_rng(0)
     n = 100_000 if args.small else 1_000_000
@@ -131,6 +137,42 @@ def main():
 
     # Reference comparison (README.md:329-330: total ~120us/query, scan 86us)
     results["vs_reference_ivf_total_120us"] = 120.0 / results["ivf_qadc_us_per_query"]
+
+    # --- 8-bit conventional ADC (reference's published comparisons:
+    # flat 8x8 scan 2594 us/query, IVF-256 8x8 ma=24 total 388 us/query,
+    # README.md:277-278,300-301)
+    pq8 = train_pq(jax.random.PRNGKey(3), base[:100_000], dim // 8, 8, iters=15)
+    findex8 = flat.add(flat.FlatIndex.create(pq8), base)
+    d, l = flat.search_adc(findex8, qd, r=100)
+    results["flat_adc8_recall@100"] = recall_at_r(np.asarray(l), gt)
+    dt = timed_chain(
+        lambda idx, qs: flat.search_adc(idx, qs, r=100), findex8, qd
+    )
+    results["flat_adc8_us_per_query"] = dt * 1e6 / nq
+    results["vs_reference_flat_adc8_2594us"] = (
+        2594.0 / results["flat_adc8_us_per_query"]
+    )
+
+    pq8_r = train_pq(
+        jax.random.PRNGKey(4), base[:100_000] - np.asarray(coarse)[a],
+        dim // 8, 8, iters=15,
+    )
+    iindex8 = ivf.add(ivf.IVFIndex.create(pq8_r, coarse), base)
+    d, l = ivf.search_adc(iindex8, queries, r=100, ma=ma)
+    results["ivf_adc8_recall@100"] = recall_at_r(np.asarray(l), gt)
+    dt = timed_chain(
+        lambda idx, qs: ivf.search_adc(idx, qs, r=100, ma=ma), iindex8, qd
+    )
+    results["ivf_adc8_us_per_query"] = dt * 1e6 / nq
+    results["vs_reference_ivf_adc8_388us"] = (
+        388.0 / results["ivf_adc8_us_per_query"]
+    )
+    # jnp (non-grouped) path for the A/B
+    dt = timed_chain(
+        lambda idx, qs: ivf.search_adc(idx, qs, r=100, ma=ma, grouped=False),
+        iindex8, qd,
+    )
+    results["ivf_adc8_jnp_us_per_query"] = dt * 1e6 / nq
 
     # --- per-query latency vs batch size (reference's -b flag; b=1 is its
     # default engine, b=32 its published config)

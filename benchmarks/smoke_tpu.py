@@ -126,6 +126,29 @@ def main():
         lambda: lut_scan8_reduce(codes8, t8, m=8, block_n=256),
     )
 
+    # 8-bit grouped IVF kernel (scalar prefetch), both layouts
+    from qadc_tpu.kernels.lut_scan import lut_scan8_grouped_prefetch
+
+    parts8, gcap8, rpp8 = 8, 4, 512  # codes per partition
+    pcodes8 = jnp.asarray(
+        rng.integers(0, 256, size=(parts8 * rpp8 // 16, 128), dtype=np.uint8)
+    )
+    gp8 = jnp.asarray(rng.permutation(parts8)[:gcap8].astype(np.int32))
+    tg8 = jnp.concatenate([t8[:, :128]] * gcap8, axis=0)  # (gcap*2048, 128)
+    check(
+        "lut_scan8_grouped_prefetch m=8",
+        lambda: lut_scan8_grouped_prefetch(
+            pcodes8, gp8, tg8, rows_per_group=rpp8, m=8, block_n=256,
+        ),
+    )
+    check(
+        "lut_scan8_grouped_prefetch m=8 transpose_out",
+        lambda: lut_scan8_grouped_prefetch(
+            pcodes8, gp8, tg8, rows_per_group=rpp8, m=8, block_n=256,
+            transpose_out=True,
+        ),
+    )
+
     # End-to-end search paths (both geometries, all batch regimes)
     from qadc_tpu.index import flat as flat_mod, ivf as ivf_mod
     from qadc_tpu.index.ivf import IVFIndex
