@@ -138,6 +138,15 @@ def main():
     # Reference comparison (README.md:329-330: total ~120us/query, scan 86us)
     results["vs_reference_ivf_total_120us"] = 120.0 / results["ivf_qadc_us_per_query"]
 
+    # --- 4-bit conventional ADC, IVF (reference scan_4 via db_query; grouped
+    # float kernel, exact top-r)
+    d, l = ivf.search_adc(iindex, queries, r=100, ma=ma)
+    results["ivf_adc4_recall@100"] = recall_at_r(np.asarray(l), gt)
+    dt = timed_chain(
+        lambda idx, qs: ivf.search_adc(idx, qs, r=100, ma=ma), iindex, qd
+    )
+    results["ivf_adc4_us_per_query"] = dt * 1e6 / nq
+
     # --- 8-bit conventional ADC (reference's published comparisons:
     # flat 8x8 scan 2594 us/query, IVF-256 8x8 ma=24 total 388 us/query,
     # README.md:277-278,300-301)

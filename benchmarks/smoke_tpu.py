@@ -111,6 +111,15 @@ def main():
                 block_n=512, window=min(cpr, 16), transpose_out=True,
             ),
         )
+        fslab = slab.astype(jnp.float32)
+        check(
+            f"lut_scan_grouped_prefetch cb={cb} float32",
+            lambda: lut_scan_grouped_prefetch(
+                pcodes, gp, fslab, fslab, rows_per_group=rpp * cpr, cb=cb,
+                block_n=512, window=min(cpr, 16), transpose_out=True,
+                acc_dtype_name="float32",
+            ),
+        )
 
     # 8-bit conventional-ADC kernel
     from qadc_tpu.kernels.lut_scan import build_scan8_tables, lut_scan8_reduce

@@ -168,21 +168,30 @@ def search_adc(
 ):
     """Conventional float ADC IVF search (reference: db_query.cpp).
 
-    4/8-bit: one-hot x table einsum per probed partition; 8-bit on TPU
-    routes through the grouped Pallas kernel (lut_scan8_grouped_prefetch)
-    with an exact-f32 rerank of the screened candidates. 16-bit: the ADC
-    distance is computed as the squared distance to the PQ reconstruction
-    (decode = per-sq row gathers; see index.flat._search_adc_recon) — 65536-
-    entry tables and one-hots never materialize.
+    On TPU, 4- and 8-bit ride the grouped scalar-prefetch Pallas kernels:
+    4-bit with f32 tables + whole-window exact rerank (exact top-r, see
+    _search_adc4_grouped_impl); 8-bit with bf16 tables + exact-f32 candidate
+    rerank (_search_adc8_grouped_impl). Elsewhere, a one-hot x table einsum
+    per probed partition. 16-bit: the ADC distance is computed as the squared
+    distance to the PQ reconstruction (decode = per-sq row gathers; see
+    index.flat._search_adc_recon) — 65536-entry tables and one-hots never
+    materialize.
     """
+    on_kernel = jax.default_backend() == "tpu" or interpret
     if grouped is None:
         grouped = (
-            (jax.default_backend() == "tpu" or interpret)
-            and index.pq.sq_bits == 8
-            and 128 % index.pq.sq_count == 0
+            on_kernel
             and index.part_pad % 512 == 0
+            and (
+                (index.pq.sq_bits == 8 and 128 % index.pq.sq_count == 0)
+                or (index.pq.sq_bits == 4 and index.pq.sq_count in (16, 32))
+            )
         )
-    if grouped:
+    if grouped and index.pq.sq_bits == 4:
+        return _search_adc4_grouped_impl(
+            index, queries, r, ma, group_size, interpret=interpret
+        )
+    if grouped and index.pq.sq_bits == 8:
         return _search_adc8_grouped_impl(
             index, queries, r, ma, group_size, interpret=interpret
         )
@@ -363,6 +372,91 @@ def _search_adc8_grouped_impl(
         fd = jnp.pad(fd, [(0, 0), (0, r - wq)], constant_values=jnp.inf)
         cand_lab = jnp.pad(cand_lab, [(0, 0), (0, r - wq)])
     return topk_smallest(fd, cand_lab, r)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("r", "ma", "group_size", "window", "block_n", "interpret"),
+)
+def _search_adc4_grouped_impl(
+    index: IVFIndex, queries, r: int, ma: int, group_size: int,
+    window: int | None = None, block_n: int = 2048, interpret: bool = False,
+):
+    """4-bit conventional (float) ADC via the grouped kernel — EXACT top-r.
+
+    The Quick-ADC grouped machinery with quantization skipped: f32 tables
+    through the scalar-prefetch kernel (acc_dtype float32), exact top-wq
+    window selection, and whole-window exact-f32 rerank (window_rerank). A
+    code outside the top-wq windows is beaten by wq >= r codes, so the
+    expansion contains the exact top-r and ranking it exactly is exact.
+    Reference: scan_4<NSQ> over probed partitions (query_common.hpp:59-90,
+    db_query.cpp:17-46).
+    """
+    from qadc_tpu.index.routing import route_queries
+    from qadc_tpu.kernels.lut_scan import (
+        build_scan_tables,
+        lut_scan_grouped_prefetch,
+    )
+
+    parts, rot = assign_queries(index, queries, ma)
+    tables = adc_tables(rot, index.pq.centroids)          # (Q, ma, M, 16) f32
+    m = index.pq.sq_count
+    q = queries.shape[0]
+    qa = q * ma
+    part_pad = index.part_pad
+    lanes = (m // 2) * 16
+    block_n = math.gcd(block_n, part_pad)
+    if window is None:
+        window = min(codes_per_row(m // 2), 16)
+
+    routed = route_queries(parts, index.part_count, group_size)
+    gcap, g = routed.gcap, routed.group_size
+
+    tlo_pairs, thi_pairs = build_scan_tables(tables.reshape(qa, m, 16), q_pad=qa)
+    tlo_pairs = tlo_pairs.T.astype(jnp.float32)           # (QA, lanes)
+    thi_pairs = thi_pairs.T.astype(jnp.float32)
+    qa_g = routed.qa_group.reshape(qa)
+    qa_s = routed.qa_slot.reshape(qa)
+    slot_to_pair = jnp.zeros((gcap * g,), jnp.int32).at[qa_g * g + qa_s].set(
+        jnp.arange(qa, dtype=jnp.int32)
+    )
+    glo = (
+        tlo_pairs[slot_to_pair].reshape(gcap, g, lanes)
+        .transpose(0, 2, 1).reshape(gcap * lanes, g)
+    )
+    ghi = (
+        thi_pairs[slot_to_pair].reshape(gcap, g, lanes)
+        .transpose(0, 2, 1).reshape(gcap * lanes, g)
+    )
+
+    vals_rows = lut_scan_grouped_prefetch(
+        index.codes.reshape(-1, 128), routed.group_part, glo, ghi,
+        rows_per_group=part_pad, cb=m // 2, block_n=block_n, window=window,
+        interpret=interpret, transpose_out=True, acc_dtype_name="float32",
+    )
+    c = part_pad // window
+    cv = vals_rows[qa_g * g + qa_s]                       # (QA, C) f32
+    p_of_pair = parts.reshape(qa)
+    sz = index.part_sizes[p_of_pair]
+    win_ids = jnp.arange(c, dtype=jnp.int32)
+    all_rows = slots_to_rows(window_slots(win_ids, block_n, window), block_n, m // 2)
+    win_has_valid = jnp.min(all_rows, axis=1)[None, :] < sz[:, None]
+    cv = jnp.where(win_has_valid, cv, jnp.inf)
+
+    wq = min(2 * r, ma * c)
+    cv_q = cv.reshape(q, ma * c)
+    neg, selq = jax.lax.top_k(-cv_q, wq)                  # EXACT window screen
+    screen_v = -neg
+    sel_ai = selq // c
+    sel_wi = selq % c
+    sel_pair = jnp.arange(q, dtype=jnp.int32)[:, None] * ma + sel_ai
+    sel_part = _select_cols(parts, sel_ai, ma)
+    sel_sz = _select_cols(sz.reshape(q, ma), sel_ai, ma)
+    return window_rerank(
+        index.codes.reshape(-1, 128), index.labels.reshape(-1), part_pad,
+        tables, screen_v, sel_part, sel_pair, sel_wi, sel_sz,
+        r, block_n, window, interpret=interpret,
+    )
 
 
 @partial(jax.jit, static_argnames=("r", "ma", "keep", "prefix_pad", "rerank", "saturate"))

@@ -369,7 +369,7 @@ def lut_scan_reduce(
 def _grouped_scan_kernel(
     codes_ref, tlo_ref, thi_ref, jpat_ref, e_ref, vals_ref,
     *, window, acc_dtype, cb, transpose_out=False,
-):
+):  # acc_dtype int32 (int8 Quick-ADC tables) or float32 (conventional ADC)
     """Grouped variant: table blocks are the current group's (lanes, G) slab.
 
     Emits only window-min VALUES (no arg): the caller reranks whole winning
@@ -392,7 +392,7 @@ def _grouped_scan_kernel(
     jax.jit,
     static_argnames=(
         "rows_per_group", "cb", "block_n", "window", "interpret",
-        "transpose_out",
+        "transpose_out", "acc_dtype_name",
     ),
 )
 def lut_scan_grouped_prefetch(
@@ -406,6 +406,7 @@ def lut_scan_grouped_prefetch(
     window: int = DEFAULT_WINDOW,
     interpret: bool = False,
     transpose_out: bool = False,
+    acc_dtype_name: str = "int32",
 ):
     """Grouped IVF scan reading partitions IN PLACE via scalar prefetch.
 
@@ -413,18 +414,22 @@ def lut_scan_grouped_prefetch(
       codes_rows: (P * rows_per_group / cpr, 128) uint8 — partition-major
         row128 storage (the IVFIndex codes reshaped).
       group_part: (GCAP,) int32 — partition scanned by each group.
-      tables_lo/hi: (GCAP * (M/2)*16, G) int8 group-major table slabs.
+      tables_lo/hi: (GCAP * (M/2)*16, G) group-major table slabs — int8
+        (Quick-ADC quantized) or float32 (conventional float ADC, with
+        acc_dtype_name="float32").
       rows_per_group: padded partition size in CODES (static).
       transpose_out: emit (GCAP*G, C) slot-major window minima instead
         (C = rows_per_group/W) — row gi*G + s holds group gi slot s's windows,
         saving callers the (gcap, C, G) -> (gcap, G, C) relayout.
+      acc_dtype_name: accumulation dtype ("int32" for int8 tables, "float32"
+        for float tables; the expansion matmuls stay int8 either way).
 
     Returns:
-      vals (GCAP*rows_per_group/W, G) int32 window minima (or the transposed
-      layout above). Window wi of group gi covers the group's local SLOTS
-      {(wi // gr)*block_n + w*gr + (wi % gr)} (gr = block_n/W); map slots to
-      code rows with slots_to_rows / use window_slots + slots_to_rows for
-      expansion.
+      vals (GCAP*rows_per_group/W, G) window minima in the accumulation dtype
+      (or the transposed layout above). Window wi of group gi covers the
+      group's local SLOTS {(wi // gr)*block_n + w*gr + (wi % gr)}
+      (gr = block_n/W); map slots to code rows with slots_to_rows / use
+      window_slots + slots_to_rows for expansion.
     """
     cpr = 128 // cb
     lanes = cb * 16
@@ -436,13 +441,14 @@ def lut_scan_grouped_prefetch(
         raise ValueError(f"block_n {block_n} must divide rows_per_group {rows_per_group}")
     if block_n % window != 0:
         raise ValueError(f"block_n {block_n} not a multiple of window {window}")
+    acc_dtype = jnp.dtype(acc_dtype_name)
     nblocks = rows_per_group // block_n
     g = block_n // window
     r16 = block_n // cpr
     e, jpat = _expand_consts(cb)
 
     body = functools.partial(
-        _grouped_scan_kernel, window=window, acc_dtype=jnp.int32, cb=cb,
+        _grouped_scan_kernel, window=window, acc_dtype=acc_dtype, cb=cb,
         transpose_out=transpose_out,
     )
 
@@ -454,12 +460,12 @@ def lut_scan_grouped_prefetch(
             (gq, g), lambda i, gp: (i // nblocks, i % nblocks)
         )
         out_shape = jax.ShapeDtypeStruct(
-            (gcap * gq, rows_per_group // window), jnp.int32
+            (gcap * gq, rows_per_group // window), acc_dtype
         )
     else:
         out_specs = pl.BlockSpec((g, gq), lambda i, gp: (i, 0))
         out_shape = jax.ShapeDtypeStruct(
-            (gcap * rows_per_group // window, gq), jnp.int32
+            (gcap * rows_per_group // window, gq), acc_dtype
         )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,

@@ -157,3 +157,54 @@ def test_adc8_grouped_m4_m16(rng):
         np.testing.assert_allclose(
             np.asarray(d1)[same], np.asarray(d0)[same], rtol=1e-5, atol=1e-3
         )
+
+
+@pytest.mark.parametrize("m", [16, 32])
+def test_adc4_grouped_exact_vs_jnp(rng, m):
+    """4-bit conventional ADC through the grouped float kernel is EXACT:
+    distances and labels match the jnp per-partition oracle bit-for-bit
+    (window selection has a 2r margin; whole-window rerank is exact f32)."""
+    D = 64
+    A = rng.normal(size=(32, D)).astype(np.float32)
+    mk = lambda k: (
+        rng.normal(size=(k, 32)).astype(np.float32) @ A
+        + 0.3 * rng.normal(size=(k, D)).astype(np.float32)
+    ).astype(np.float32)
+    base, qs = mk(15000), mk(12)
+    coarse = ivf.train_coarse(jax.random.PRNGKey(1), base, part_count=32, iters=8)
+    a = np.asarray(assign_nearest(base, coarse))
+    pq = train_pq(
+        jax.random.PRNGKey(0), base - np.asarray(coarse)[a], m, 4, iters=6
+    )
+    index = ivf.add(ivf.IVFIndex.create(pq, coarse), base)
+    d0, l0 = ivf.search_adc(index, jnp.asarray(qs), r=50, ma=8)
+    d1, l1 = ivf.search_adc(
+        index, jnp.asarray(qs), r=50, ma=8, grouped=True, interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(d1), np.asarray(d0), rtol=1e-5, atol=1e-3
+    )
+    np.testing.assert_array_equal(np.asarray(l1), np.asarray(l0))
+
+
+def test_adc4_grouped_small_partitions(rng):
+    """Tiny partitions (probed volume < r): +inf tails and no padding flood
+    through the 4-bit grouped conventional path."""
+    D = 64
+    base = rng.normal(size=(300, D)).astype(np.float32)
+    qs = rng.normal(size=(4, D)).astype(np.float32)
+    coarse = ivf.train_coarse(jax.random.PRNGKey(1), base, part_count=16, iters=5)
+    a = np.asarray(assign_nearest(base, coarse))
+    pq = train_pq(
+        jax.random.PRNGKey(0), base - np.asarray(coarse)[a], 16, 4, iters=4
+    )
+    index = ivf.add(ivf.IVFIndex.create(pq, coarse), base)
+    d0, l0 = ivf.search_adc(index, jnp.asarray(qs), r=60, ma=2)
+    d1, l1 = ivf.search_adc(
+        index, jnp.asarray(qs), r=60, ma=2, grouped=True, interpret=True
+    )
+    d0, d1 = np.asarray(d0), np.asarray(d1)
+    np.testing.assert_array_equal(np.isfinite(d0), np.isfinite(d1))
+    fin = np.isfinite(d0)
+    np.testing.assert_allclose(d1[fin], d0[fin], rtol=1e-5, atol=1e-3)
+    np.testing.assert_array_equal(np.asarray(l1)[fin], np.asarray(l0)[fin])
