@@ -139,7 +139,7 @@ def main():
     results["vs_reference_ivf_total_120us"] = 120.0 / results["ivf_qadc_us_per_query"]
 
     # --- 4-bit conventional ADC, IVF (reference scan_4 via db_query; grouped
-    # float kernel, exact top-r)
+    # float kernel, exact f32 distances, 2r-margin window screen)
     d, l = ivf.search_adc(iindex, queries, r=100, ma=ma)
     results["ivf_adc4_recall@100"] = recall_at_r(np.asarray(l), gt)
     dt = timed_chain(

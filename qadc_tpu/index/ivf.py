@@ -295,18 +295,10 @@ def _search_adc8_grouped_impl(
     routed = route_queries(parts, index.part_count, group_size)
     gcap, g = routed.gcap, routed.group_size
 
-    # Per-pair bf16 table columns into group slots (scatter pair IDS, gather
-    # table rows — same trick as the 4-bit grouped path).
     t8 = build_scan8_tables(tables.reshape(qa, m, 256), q_pad=qa).T  # (QA, lanes)
+    (tg,) = _group_table_slabs(routed, t8)
     qa_g = routed.qa_group.reshape(qa)
     qa_s = routed.qa_slot.reshape(qa)
-    slot_to_pair = jnp.zeros((gcap * g,), jnp.int32).at[qa_g * g + qa_s].set(
-        jnp.arange(qa, dtype=jnp.int32)
-    )
-    tg = (
-        t8[slot_to_pair].reshape(gcap, g, lanes)
-        .transpose(0, 2, 1).reshape(gcap * lanes, g)
-    )
 
     vals_rows, slot_rows = lut_scan8_grouped_prefetch(
         index.codes.reshape(-1, 128), routed.group_part, tg,
@@ -324,8 +316,7 @@ def _search_adc8_grouped_impl(
     # the clamped candidate's value/label are exactly that code's —
     # reference's bh_push index clamp, simd_scan.hpp:63-73).
     win_ids = jnp.arange(c, dtype=jnp.int32)
-    all_rows = slots_to_rows(window_slots(win_ids, block_n, window), block_n, m)
-    win_has_valid = jnp.min(all_rows, axis=1)[None, :] < sz[:, None]
+    win_has_valid = _window_valid_mask(sz, c, block_n, window, m)
     # Dedup the clamp: a clamped argmin means every padded row (all equal to
     # the last real code) beat the window's real rows, so ALL such windows
     # would report the same duplicate — for a nearly-empty partition whose
@@ -382,15 +373,18 @@ def _search_adc4_grouped_impl(
     index: IVFIndex, queries, r: int, ma: int, group_size: int,
     window: int | None = None, block_n: int = 2048, interpret: bool = False,
 ):
-    """4-bit conventional (float) ADC via the grouped kernel — EXACT top-r.
+    """4-bit conventional (float) ADC via the grouped kernel.
 
     The Quick-ADC grouped machinery with quantization skipped: f32 tables
-    through the scalar-prefetch kernel (acc_dtype float32), exact top-wq
-    window selection, and whole-window exact-f32 rerank (window_rerank). A
-    code outside the top-wq windows is beaten by wq >= r codes, so the
-    expansion contains the exact top-r and ranking it exactly is exact.
-    Reference: scan_4<NSQ> over probed partitions (query_common.hpp:59-90,
-    db_query.cpp:17-46).
+    through the scalar-prefetch kernel (acc_dtype float32), top-wq window
+    selection, and whole-window exact-f32 rerank (window_rerank). A code
+    outside the top-wq windows is beaten by wq >= r codes, so the expansion
+    contains the true top-r and the returned distances are exact f32. Same
+    caveat as flat.search_adc: on real TPU the kernel's f32 one-hot matmul
+    runs bf16 passes, so window SELECTION sees ~0.4%-rounded minima — the
+    wq = 2r margin absorbs near-tie swaps at the boundary (interpret mode,
+    and therefore the parity tests, are bit-exact). Reference: scan_4<NSQ>
+    over probed partitions (query_common.hpp:59-90, db_query.cpp:17-46).
     """
     from qadc_tpu.index.routing import route_queries
     from qadc_tpu.kernels.lut_scan import (
@@ -413,20 +407,8 @@ def _search_adc4_grouped_impl(
     gcap, g = routed.gcap, routed.group_size
 
     tlo_pairs, thi_pairs = build_scan_tables(tables.reshape(qa, m, 16), q_pad=qa)
-    tlo_pairs = tlo_pairs.T.astype(jnp.float32)           # (QA, lanes)
-    thi_pairs = thi_pairs.T.astype(jnp.float32)
-    qa_g = routed.qa_group.reshape(qa)
-    qa_s = routed.qa_slot.reshape(qa)
-    slot_to_pair = jnp.zeros((gcap * g,), jnp.int32).at[qa_g * g + qa_s].set(
-        jnp.arange(qa, dtype=jnp.int32)
-    )
-    glo = (
-        tlo_pairs[slot_to_pair].reshape(gcap, g, lanes)
-        .transpose(0, 2, 1).reshape(gcap * lanes, g)
-    )
-    ghi = (
-        thi_pairs[slot_to_pair].reshape(gcap, g, lanes)
-        .transpose(0, 2, 1).reshape(gcap * lanes, g)
+    glo, ghi = _group_table_slabs(
+        routed, tlo_pairs.T.astype(jnp.float32), thi_pairs.T.astype(jnp.float32)
     )
 
     vals_rows = lut_scan_grouped_prefetch(
@@ -435,13 +417,12 @@ def _search_adc4_grouped_impl(
         interpret=interpret, transpose_out=True, acc_dtype_name="float32",
     )
     c = part_pad // window
+    qa_g = routed.qa_group.reshape(qa)
+    qa_s = routed.qa_slot.reshape(qa)
     cv = vals_rows[qa_g * g + qa_s]                       # (QA, C) f32
     p_of_pair = parts.reshape(qa)
     sz = index.part_sizes[p_of_pair]
-    win_ids = jnp.arange(c, dtype=jnp.int32)
-    all_rows = slots_to_rows(window_slots(win_ids, block_n, window), block_n, m // 2)
-    win_has_valid = jnp.min(all_rows, axis=1)[None, :] < sz[:, None]
-    cv = jnp.where(win_has_valid, cv, jnp.inf)
+    cv = jnp.where(_window_valid_mask(sz, c, block_n, window, m // 2), cv, jnp.inf)
 
     wq = min(2 * r, ma * c)
     cv_q = cv.reshape(q, ma * c)
@@ -758,25 +739,12 @@ def _search_qadc_grouped_impl(
     routed = route_queries(parts, index.part_count, group_size)
     gcap, g = routed.gcap, routed.group_size
 
-    # Per-pair kernel tables into group slots. A direct 2-axis scatter is
-    # pathological on TPU (~1s at SIFT1M geometry); instead scatter only the
-    # PAIR IDS (one int each) and row-GATHER the table slabs.
+    # Per-pair kernel tables into group slots (_group_table_slabs: scatter
+    # pair ids + row gather; a direct 2-axis scatter is pathological on TPU).
     tlo_pairs, thi_pairs = build_scan_tables(qtables.reshape(qa, m, 16), q_pad=qa)
-    tlo_pairs, thi_pairs = tlo_pairs.T, thi_pairs.T      # (QA, lanes)
+    glo, ghi = _group_table_slabs(routed, tlo_pairs.T, thi_pairs.T)
     qa_g = routed.qa_group.reshape(qa)
     qa_s = routed.qa_slot.reshape(qa)
-    slot_to_pair = jnp.zeros((gcap * g,), jnp.int32).at[qa_g * g + qa_s].set(
-        jnp.arange(qa, dtype=jnp.int32)
-    )
-    # (gcap*G, lanes) -> (gcap, G, lanes) -> (gcap, lanes, G) -> (gcap*lanes, G)
-    glo = (
-        tlo_pairs[slot_to_pair].reshape(gcap, g, lanes)
-        .transpose(0, 2, 1).reshape(gcap * lanes, g)
-    )
-    ghi = (
-        thi_pairs[slot_to_pair].reshape(gcap, g, lanes)
-        .transpose(0, 2, 1).reshape(gcap * lanes, g)
-    )
 
     # Scan each group's partition IN PLACE (scalar-prefetch block routing —
     # no gather copy of the scanned bytes). Codes are row128 storage. The
@@ -797,11 +765,7 @@ def _search_qadc_grouped_impl(
         cv = jnp.minimum(cv, 127.0)
     p_of_pair = parts.reshape(qa)
     sz = index.part_sizes[p_of_pair]                      # (QA,)
-    win_ids = jnp.arange(c, dtype=jnp.int32)
-    all_slots = window_slots(win_ids, block_n, window)    # (C, W) local slots
-    all_rows = slots_to_rows(all_slots, block_n, m // 2)  # (C, W) local rows
-    win_has_valid = jnp.min(all_rows, axis=1)[None, :] < sz[:, None]
-    cv = jnp.where(win_has_valid, cv, jnp.inf)
+    cv = jnp.where(_window_valid_mask(sz, c, block_n, window, m // 2), cv, jnp.inf)
 
     # Merge windows at QUERY level (top 2r windows across the query's ma
     # partitions), then expand EVERY row of each winning window and rank those
@@ -844,6 +808,37 @@ def _search_qadc_grouped_impl(
         r, block_n, window, tiles=tiles if rerank else None,
         clamp127=saturate and not rerank, interpret=interpret,
     )
+
+
+def _group_table_slabs(routed, *pair_tables):
+    """(QA, lanes) per-pair table rows -> (gcap*lanes, G) group slabs.
+
+    Scatters only the PAIR IDS (one int each) and row-GATHERS the table
+    rows — a direct 2-axis table scatter is pathological on TPU (~1 s at
+    SIFT1M geometry). Shared by the three grouped search impls.
+    """
+    gcap, g = routed.gcap, routed.group_size
+    qa = routed.qa_group.size
+    qa_g = routed.qa_group.reshape(qa)
+    qa_s = routed.qa_slot.reshape(qa)
+    slot_to_pair = jnp.zeros((gcap * g,), jnp.int32).at[qa_g * g + qa_s].set(
+        jnp.arange(qa, dtype=jnp.int32)
+    )
+    out = []
+    for t in pair_tables:
+        lanes = t.shape[1]
+        out.append(
+            t[slot_to_pair].reshape(gcap, g, lanes)
+            .transpose(0, 2, 1).reshape(gcap * lanes, g)
+        )
+    return out
+
+
+def _window_valid_mask(sz, c: int, block_n: int, window: int, cb: int):
+    """(QA, C) bool — window covers at least one real row of its partition."""
+    win_ids = jnp.arange(c, dtype=jnp.int32)
+    all_rows = slots_to_rows(window_slots(win_ids, block_n, window), block_n, cb)
+    return jnp.min(all_rows, axis=1)[None, :] < sz[:, None]
 
 
 def _select_cols(src, idx, ncols: int):
@@ -931,7 +926,12 @@ def window_rerank(
         & jnp.isfinite(screen_v).reshape(a)[:, None]
     )
     cvf = jnp.where(alive, cvf, jnp.inf)
-    return topk_smallest(cvf.reshape(q, wq * cpr), lab.reshape(q, wq * cpr), r)
+    cvf = cvf.reshape(q, wq * cpr)
+    labq = lab.reshape(q, wq * cpr)
+    if r > wq * cpr:  # tiny probed volume: pad to the (Q, r) contract
+        cvf = jnp.pad(cvf, [(0, 0), (0, r - wq * cpr)], constant_values=jnp.inf)
+        labq = jnp.pad(labq, [(0, 0), (0, r - wq * cpr)])
+    return topk_smallest(cvf, labq, r)
 
 
 def search_qadc(

@@ -208,3 +208,35 @@ def test_adc4_grouped_small_partitions(rng):
     fin = np.isfinite(d0)
     np.testing.assert_allclose(d1[fin], d0[fin], rtol=1e-5, atol=1e-3)
     np.testing.assert_array_equal(np.asarray(l1)[fin], np.asarray(l0)[fin])
+
+
+def test_grouped_r_exceeds_candidate_volume(rng):
+    """r larger than the probed candidate volume (wq*cpr < r): window_rerank
+    must pad with +inf instead of crashing in top_k — both the 4-bit
+    conventional grouped path and the Quick-ADC grouped path."""
+    D = 64
+    base = rng.normal(size=(2000, D)).astype(np.float32)
+    qs = rng.normal(size=(3, D)).astype(np.float32)
+    coarse = ivf.train_coarse(jax.random.PRNGKey(1), base, part_count=8, iters=5)
+    a = np.asarray(assign_nearest(base, coarse))
+    pq = train_pq(
+        jax.random.PRNGKey(0), base - np.asarray(coarse)[a], 16, 4, iters=4
+    )
+    index = ivf.add(ivf.IVFIndex.create(pq, coarse), base)
+    r = 4 * index.part_pad  # guarantees r > wq*cpr for ma=1
+    d0, l0 = ivf.search_adc(index, jnp.asarray(qs), r=r, ma=1)
+    d1, l1 = ivf.search_adc(
+        index, jnp.asarray(qs), r=r, ma=1, grouped=True, interpret=True
+    )
+    d0, d1 = np.asarray(d0), np.asarray(d1)
+    assert d1.shape == (3, r)
+    np.testing.assert_array_equal(np.isfinite(d0), np.isfinite(d1))
+    fin = np.isfinite(d0)
+    np.testing.assert_allclose(d1[fin], d0[fin], rtol=1e-5, atol=1e-3)
+    # Quick-ADC grouped path, same geometry
+    d2, l2 = ivf.search_qadc(
+        index, jnp.asarray(qs), r=r, ma=1, keep=0.05, grouped=True,
+        direct=False, interpret=True,
+    )
+    assert np.asarray(d2).shape == (3, r)
+    assert np.isfinite(np.asarray(d2)).sum() <= fin.sum()
