@@ -1,0 +1,24 @@
+#!/bin/bash
+# One-shot hardware measurement sweep (run when the TPU relay is healthy).
+# Captures everything the round scorecard needs into benchmarks/measured/.
+set -u
+cd "$(dirname "$0")/.."
+export PYTHONPATH="$PWD:${PYTHONPATH:-}"
+OUT=benchmarks/measured
+mkdir -p "$OUT"
+stamp=$(date +%Y%m%d-%H%M%S)
+
+run() {  # run <name> <timeout_s> <cmd...>
+  local name=$1 t=$2; shift 2
+  echo "=== $name ==="
+  timeout "$t" "$@" 2>&1 | tee "$OUT/${name}-${stamp}.log"
+  echo "--- $name exit=$? ---"
+}
+
+run smoke     1200 python benchmarks/smoke_tpu.py
+run bench     2400 python bench.py
+run run_bench 3600 python benchmarks/run_bench.py --json
+run profile_b1   1200 python benchmarks/profile_b1.py 1
+run profile_b128 1200 python benchmarks/profile_b1.py 128
+run deep100m  3600 python benchmarks/deep100m_v2.py
+echo "All logs in $OUT/ (stamp $stamp)"
