@@ -148,7 +148,49 @@ def _bench_recall_qps(rng):
     return rec, rec_f, nq / dt
 
 
+def _require_device(timeout_s: float = 180.0):
+    """Fail fast (with one JSON line) if the TPU backend can't initialize.
+
+    The dev relay tunneling the TPU can die in a mode where backend init
+    HANGS rather than erroring; a benchmark that hangs forever records
+    nothing. Probe jax.devices() in a daemon thread and report an explicit
+    error JSON if it neither returns nor raises within the timeout.
+    """
+    import threading
+
+    result = {}
+
+    def probe():
+        try:
+            import jax
+
+            result["devices"] = [str(d) for d in jax.devices()]
+        except Exception as e:  # noqa: BLE001 — reported, not swallowed
+            result["error"] = f"{type(e).__name__}: {e}"
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    err = result.get("error") if result else (
+        f"backend init hung > {timeout_s:.0f}s (TPU relay unreachable)"
+    )
+    if err:
+        print(
+            json.dumps(
+                {
+                    "metric": "qadc4_scan_throughput_1Mcodes_q128",
+                    "value": 0,
+                    "unit": "code-query pairs/s/chip",
+                    "vs_baseline": 0,
+                    "detail": {"error": err},
+                }
+            )
+        )
+        raise SystemExit(1)
+
+
 def main():
+    _require_device()
     import jax
 
     rng = np.random.default_rng(0)
