@@ -39,23 +39,30 @@ class SearchServer:
         adc_type: str = "qadc",
         batch_size: int = 128,
         max_wait_ms: float = 2.0,
+        search_fn=None,
     ):
+        """search_fn: optional (index, batch) -> (dists, labels) override —
+        e.g. a partial of dist.sharded_ivf.search_qadc_ivf_sharded to serve a
+        partition-sharded index over a mesh; default routes to the local
+        flat/ivf search for adc_type."""
         self.index = index
         self.r = r
         self.ma = ma
         self.keep = keep
         self.adc_type = adc_type
         self.batch_size = batch_size
+        self._search_fn = search_fn
         # Fixed-shape BUCKETS (jit compiles once per bucket): a lone request
         # pads to shape 1 — engaging the direct low-latency IVF path
         # (index/ivf.py) — instead of paying the full batch's cost.
         self.batch_buckets = sorted({1, min(8, batch_size), batch_size})
         self.max_wait_s = max_wait_ms / 1e3
         self.is_ivf = isinstance(index, IVFIndex)
-        if not self.is_ivf and not isinstance(index, FlatIndex):
-            raise TypeError(f"unsupported index type {type(index)}")
-        if adc_type == "qadc" and index.pq.sq_bits != 4:
-            raise ValueError("Quick ADC requires sq_bits == 4")
+        if search_fn is None:
+            if not self.is_ivf and not isinstance(index, FlatIndex):
+                raise TypeError(f"unsupported index type {type(index)}")
+            if adc_type == "qadc" and index.pq.sq_bits != 4:
+                raise ValueError("Quick ADC requires sq_bits == 4")
         self._q: queue.Queue = queue.Queue()
         self._closed = False
         # Guards the closed-check + enqueue in submit() against the worker's
@@ -67,6 +74,8 @@ class SearchServer:
         self._worker.start()
 
     def _search(self, batch):
+        if self._search_fn is not None:
+            return self._search_fn(self.index, batch)
         if self.is_ivf:
             if self.adc_type == "qadc":
                 return ivf_mod.search_qadc(

@@ -62,3 +62,41 @@ def test_serve_rejects_bad_dim(built):
     with SearchServer(index, r=5, keep=0.05) as srv:
         with pytest.raises(ValueError, match="dim"):
             srv.submit(np.zeros(7, np.float32))
+
+
+def test_serve_sharded_search_fn(built):
+    """SearchServer over a partition-sharded IVF index via search_fn — the
+    multi-chip serving composition (sharded search under the batching
+    worker)."""
+    from functools import partial
+
+    from qadc_tpu.dist.mesh import make_mesh
+    from qadc_tpu.dist.sharded_ivf import (
+        search_qadc_ivf_sharded,
+        shard_ivf_partitions,
+    )
+    from qadc_tpu.index import ivf
+    from qadc_tpu.ops.knn import assign_nearest
+
+    rng = np.random.default_rng(5)
+    dim, n = 32, 4000
+    base = rng.normal(size=(n, dim)).astype(np.float32)
+    coarse = ivf.train_coarse(jax.random.PRNGKey(1), base, part_count=16, iters=5)
+    a = np.asarray(assign_nearest(base, coarse))
+    pq = train_pq(jax.random.PRNGKey(2), base - np.asarray(coarse)[a], 16, 4, iters=5)
+    index = ivf.add(ivf.IVFIndex.create(pq, coarse), base)
+
+    mesh = make_mesh(8)
+    sharded = shard_ivf_partitions(index, mesh)
+    fn = partial(
+        search_qadc_ivf_sharded, r=20, ma=4, keep=0.05, mesh=mesh, interpret=True
+    )
+    queries = base[:6] + 0.01
+    with SearchServer(
+        sharded, batch_size=8, max_wait_ms=20, search_fn=lambda idx, b: fn(idx, b)
+    ) as srv:
+        futs = [srv.submit(q) for q in queries]
+        results = [f.result(timeout=120) for f in futs]
+    d_ref, l_ref = fn(sharded, queries)
+    for i, (d, l) in enumerate(results):
+        np.testing.assert_array_equal(l, np.asarray(l_ref)[i])
