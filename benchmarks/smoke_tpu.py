@@ -134,6 +134,12 @@ def main():
         "lut_scan8_reduce m=8",
         lambda: lut_scan8_reduce(codes8, t8, m=8, block_n=256),
     )
+    check(
+        "lut_scan8_reduce m=8 transpose_out",
+        lambda: lut_scan8_reduce(
+            codes8, t8, m=8, block_n=256, transpose_out=True
+        ),
+    )
 
     # 8-bit grouped IVF kernel (scalar prefetch), both layouts
     from qadc_tpu.kernels.lut_scan import lut_scan8_grouped_prefetch

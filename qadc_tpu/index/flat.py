@@ -321,7 +321,8 @@ def search_adc(index: FlatIndex, queries, r: int = 100, interpret: bool = False)
             and 128 % cb == 0:
         t8 = build_scan8_tables(tables)
         vals, rows = lut_scan8_reduce(
-            index.codes, t8, m=index.pq.sq_count, interpret=interpret
+            index.codes, t8, m=index.pq.sq_count, interpret=interpret,
+            transpose_out=True,
         )
     else:
         packed = row128_to_codes(index.codes, cb)
@@ -332,7 +333,7 @@ def search_adc(index: FlatIndex, queries, r: int = 100, interpret: bool = False)
 
     q = tables.shape[0]
     vals = jnp.where(rows < index.n, vals.astype(jnp.float32), jnp.inf)
-    vals_t, rows_t = vals.T[:q], rows.T[:q]
+    vals_t, rows_t = vals[:q], rows[:q]
     rr = min(2 * r, vals_t.shape[1])
     screen_v, sel = screen_smallest(vals_t, rr)
     cand = jnp.take_along_axis(rows_t, sel, axis=1)       # (Q, rr) row ids

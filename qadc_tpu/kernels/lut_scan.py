@@ -735,12 +735,16 @@ def window_slots(window_ids, block_n: int, window: int):
     return b[..., None] * block_n + w * gr + s[..., None]
 
 
-def _scan8_kernel(codes_ref, t_ref, jpat_ref, e_ref, vals_ref, idx_ref, *, window, m):
+def _scan8_kernel(
+    codes_ref, t_ref, jpat_ref, e_ref, vals_ref, idx_ref,
+    *, window, m, transpose_out=False,
+):
     """8-bit conventional ADC scan block: one-hot over 256 centroids per sq.
 
     Reference: scan_standard<uint8_t, NSQ> (query_common.hpp:92-118). Tables
     are bf16 for MXU rate; exactness is restored by the caller's f32 gather
-    rerank of the winning candidates.
+    rerank of the winning candidates. transpose_out writes (Qp, g) blocks —
+    per-query rows straight out of the kernel.
     """
     codes_c = _deinterleave(codes_ref[...], m)           # (BLK, M) slot order
     blk = codes_c.shape[0]
@@ -761,8 +765,13 @@ def _scan8_kernel(codes_ref, t_ref, jpat_ref, e_ref, vals_ref, idx_ref, *, windo
         arg = jnp.where(take, w, arg)
     base = pl.program_id(0) * blk
     g_iota = jax.lax.broadcasted_iota(jnp.int32, (g, acc.shape[1]), 0)
-    vals_ref[...] = m_v
-    idx_ref[...] = base + arg * g + g_iota               # SLOT ids
+    slots = base + arg * g + g_iota                      # SLOT ids
+    if transpose_out:
+        vals_ref[...] = m_v.T
+        idx_ref[...] = slots.T
+    else:
+        vals_ref[...] = m_v
+        idx_ref[...] = slots
 
 
 @functools.lru_cache(maxsize=None)
@@ -785,10 +794,14 @@ def build_scan8_tables(tables, q_pad: int | None = None):
     return jnp.pad(t, [(0, 0), (0, q_pad - q)]).astype(jnp.bfloat16)
 
 
-@functools.partial(jax.jit, static_argnames=("m", "block_n", "window", "interpret"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("m", "block_n", "window", "interpret", "transpose_out"),
+)
 def lut_scan8_reduce(
     codes_rows, tables, m: int = 8, block_n: int = 256,
     window: int = DEFAULT_WINDOW, interpret: bool = False,
+    transpose_out: bool = False,
 ):
     """8-bit ADC scan over all codes: window minima + arg code rows.
 
@@ -796,9 +809,12 @@ def lut_scan8_reduce(
       codes_rows: (N_pad/cpr, 128) uint8 row128 storage (cpr = 128/M).
       tables: (M*256, Qp) bf16 (from build_scan8_tables).
       m: sub-quantizer count (= code bytes at 8 bits).
+      transpose_out: emit (Qp, N_pad/W) per-query rows instead — saves the
+        caller's (C, Qp) -> (Qp, C) relayout copy.
 
     Returns:
-      (vals (N_pad/W, Qp) f32, rows (N_pad/W, Qp) int32 global code rows).
+      (vals (N_pad/W, Qp) f32, rows (N_pad/W, Qp) int32 global code rows) —
+      or the (Qp, N_pad/W) layouts with transpose_out.
     """
     cpr = 128 // m
     n_pad = codes_rows.shape[0] * cpr
@@ -813,7 +829,27 @@ def lut_scan8_reduce(
     e = jnp.asarray(e_np, jnp.bfloat16)
     jpat = jnp.asarray(jpat_np)
 
-    kernel = functools.partial(_scan8_kernel, window=window, m=m)
+    kernel = functools.partial(
+        _scan8_kernel, window=window, m=m, transpose_out=transpose_out
+    )
+    if transpose_out:
+        out_specs = [
+            pl.BlockSpec((qp, g), lambda i: (0, i), memory_space=pltpu.VMEM)
+            for _ in range(2)
+        ]
+        out_shape = [
+            jax.ShapeDtypeStruct((qp, n_pad // window), dt)
+            for dt in (jnp.float32, jnp.int32)
+        ]
+    else:
+        out_specs = [
+            pl.BlockSpec((g, qp), lambda i: (i, 0), memory_space=pltpu.VMEM)
+            for _ in range(2)
+        ]
+        out_shape = [
+            jax.ShapeDtypeStruct((n_pad // window, qp), dt)
+            for dt in (jnp.float32, jnp.int32)
+        ]
     vals, slots = pl.pallas_call(
         kernel,
         grid=(n_pad // block_n,),
@@ -823,14 +859,8 @@ def lut_scan8_reduce(
             pl.BlockSpec((8, lanes), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((m, lanes), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((g, qp), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((g, qp), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((n_pad // window, qp), jnp.float32),
-            jax.ShapeDtypeStruct((n_pad // window, qp), jnp.int32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * n_pad * lanes * qp * 2,

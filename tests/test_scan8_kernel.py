@@ -36,3 +36,22 @@ def test_scan8_matches_reference(rng):
     for g in range(0, c_total, 7):
         for qi in range(q):
             assert abs(full[qi, rows[g, qi]] - vals[g, qi]) < full[qi].max() * 6e-3 + 0.05
+
+
+def test_scan8_transpose_out_parity(rng):
+    """transpose_out layouts are exact transposes of the default outputs."""
+    import jax.numpy as jnp
+    from qadc_tpu.kernels.lut_scan import build_scan8_tables, lut_scan8_reduce
+
+    m, n = 8, 4096
+    codes = jnp.asarray(
+        rng.integers(0, 256, size=(n * m // 128, 128), dtype=np.uint8)
+    )
+    tables = jnp.asarray(rng.normal(size=(16, m, 256)).astype(np.float32))
+    t8 = build_scan8_tables(tables)
+    v0, r0 = lut_scan8_reduce(codes, t8, m=m, block_n=256, interpret=True)
+    v1, r1 = lut_scan8_reduce(
+        codes, t8, m=m, block_n=256, interpret=True, transpose_out=True
+    )
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v0).T)
+    np.testing.assert_array_equal(np.asarray(r1), np.asarray(r0).T)
