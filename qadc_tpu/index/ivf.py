@@ -177,6 +177,9 @@ def search_adc(
     index.flat._search_adc_recon) — 65536-entry tables and one-hots never
     materialize.
     """
+    # Probing more partitions than exist == probing all of them (the
+    # reference's binheap assignment degrades unpredictably there; clamp).
+    ma = min(ma, index.part_count)
     on_kernel = jax.default_backend() == "tpu" or interpret
     if grouped is None:
         grouped = (
@@ -961,6 +964,8 @@ def search_qadc(
     """
     if index.pq.sq_bits != 4:
         raise ValueError("Quick ADC requires sq_bits == 4")
+    # Probing more partitions than exist == probing all of them.
+    ma = min(ma, index.part_count)
     if direct is None:
         direct = (
             (jax.default_backend() == "tpu" or interpret)

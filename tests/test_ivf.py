@@ -217,3 +217,15 @@ def test_ivf_direct_sq_count_8(rng):
     )
     np.testing.assert_allclose(np.asarray(d1), np.asarray(d0), atol=1e-3)
     np.testing.assert_array_equal(np.asarray(l1), np.asarray(l0))
+
+
+def test_ivf_ma_exceeds_part_count(rng):
+    """ma > part_count clamps to probing every partition (the reference's
+    assignment binheap degrades unpredictably there)."""
+    index, _, queries, _ = _build_ivf(rng, n=300, parts=8)
+    d_all, l_all = ivf.search_qadc(index, queries[:4], r=20, ma=8)
+    d_big, l_big = ivf.search_qadc(index, queries[:4], r=20, ma=50)
+    np.testing.assert_array_equal(np.asarray(l_big), np.asarray(l_all))
+    a_all = ivf.search_adc(index, queries[:4], r=20, ma=8)
+    a_big = ivf.search_adc(index, queries[:4], r=20, ma=50)
+    np.testing.assert_array_equal(np.asarray(a_big[1]), np.asarray(a_all[1]))
