@@ -103,6 +103,54 @@ def _bench_ivf_e2e(rng, index, batch, k_lo=20, k_hi=100):
     return dt * 1e6 / batch
 
 
+def _make_ivf8(rng):
+    """Synthetic IVF with an 8x8 PQ (timing only — tables random)."""
+    import jax.numpy as jnp
+    from qadc_tpu.index.ivf import IVFIndex
+    from qadc_tpu.quantizers.pq import ProductQuantizer
+
+    dim, parts, part_pad, m = 128, 256, 4096, 8
+    pq = ProductQuantizer(
+        centroids=jnp.asarray(
+            rng.normal(size=(m, 256, dim // m)).astype(np.float32)
+        ),
+        sq_bits=8,
+    )
+    return IVFIndex(
+        pq=pq,
+        coarse_centroids=jnp.asarray(rng.normal(size=(parts, dim)).astype(np.float32)),
+        codes=jnp.asarray(
+            rng.integers(0, 256, size=(parts, part_pad // 16, 128), dtype=np.uint8)
+        ),
+        labels=jnp.asarray(
+            np.arange(parts * part_pad, dtype=np.int32).reshape(parts, part_pad)
+        ),
+        part_sizes=jnp.asarray(np.full((parts,), 3906, np.int32)),
+        n=parts * 3906,
+        max_part_size=3906,
+    )
+
+
+def _bench_ivf_adc(rng, index, batch, k_lo=10, k_hi=50):
+    """Conventional (float) ADC IVF e2e us/query at SIFT1M geometry.
+
+    Reference totals (README.md:277-301): IVF-256 OPQ 8x8 ADC ma=24 ~388
+    us/query; 4-bit scan_4 has no published IVF total (compare vs 388 too).
+    """
+    import jax.numpy as jnp
+    from qadc_tpu.index import ivf
+
+    queries = jnp.asarray(rng.normal(size=(batch, 128)).astype(np.float32))
+
+    def body(args, tap):
+        idx, qs = args
+        d, _ = ivf.search_adc(idx, qs + tap * 1e-12, r=100, ma=24)
+        return d.sum()
+
+    dt = fori_slope_seconds(body, (index, queries), k_lo=k_lo, k_hi=k_hi)
+    return dt * 1e6 / batch
+
+
 def _bench_recall_qps(rng):
     """Trained-index recall@100 + QPS on correlated synthetic (quick: 256k)."""
     import jax
@@ -209,6 +257,8 @@ def main():
     ivf_us_128 = _bench_ivf_e2e(rng, ivf_index, 128)
     ivf_us_32 = _bench_ivf_e2e(rng, ivf_index, 32)
     ivf_us_1 = _bench_ivf_e2e(rng, ivf_index, 1, k_lo=100, k_hi=500)
+    adc4_us_32 = _bench_ivf_adc(rng, ivf_index, 32)
+    adc8_us_32 = _bench_ivf_adc(rng, _make_ivf8(rng), 32)
 
     recall100, recall100_float, qps = _bench_recall_qps(rng)
 
@@ -230,6 +280,9 @@ def main():
                     "ivf256_ma24_r100_us_per_query_b1": ivf_us_1,
                     "ivf_vs_reference_total_120us": 120.0 / ivf_us_128,
                     "ivf_b32_vs_reference_total_120us": 120.0 / ivf_us_32,
+                    "ivf256_ma24_adc4_us_per_query_b32": adc4_us_32,
+                    "ivf256_ma24_adc8_us_per_query_b32": adc8_us_32,
+                    "ivf_adc8_vs_reference_total_388us": 388.0 / adc8_us_32,
                     "trained_ivf_recall_at_100": recall100,
                     "trained_ivf_float_adc_recall_at_100": recall100_float,
                     "trained_ivf_qadc_recall_delta": recall100_float - recall100,
