@@ -12,7 +12,8 @@ run() {  # run <name> <timeout_s> <cmd...>
   local name=$1 t=$2; shift 2
   echo "=== $name ==="
   timeout "$t" "$@" 2>&1 | tee "$OUT/${name}-${stamp}.log"
-  echo "--- $name exit=$? ---"
+  local rc=${PIPESTATUS[0]}
+  echo "--- $name exit=$rc ---"
 }
 
 run smoke     1200 python benchmarks/smoke_tpu.py

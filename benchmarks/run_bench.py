@@ -176,12 +176,18 @@ def main():
     results["vs_reference_ivf_adc8_388us"] = (
         388.0 / results["ivf_adc8_us_per_query"]
     )
-    # jnp (non-grouped) path for the A/B
-    dt = timed_chain(
-        lambda idx, qs: ivf.search_adc(idx, qs, r=100, ma=ma, grouped=False),
-        iindex8, qd,
-    )
-    results["ivf_adc8_jnp_us_per_query"] = dt * 1e6 / nq
+    # jnp (non-grouped) path for the A/B — the one-hot einsum materializes
+    # ~6-10 GB/batch of f32 at full geometry; guard so an OOM doesn't abort
+    # the rest of the sweep.
+    try:
+        dt = timed_chain(
+            lambda idx, qs: ivf.search_adc(idx, qs, r=100, ma=ma, grouped=False),
+            iindex8, qd,
+        )
+        results["ivf_adc8_jnp_us_per_query"] = dt * 1e6 / nq
+    except Exception as e:  # noqa: BLE001 — record instead of aborting
+        results["ivf_adc8_jnp_us_per_query"] = float("nan")
+        print(f"# adc8 jnp A/B skipped: {type(e).__name__}", flush=True)
 
     # --- per-query latency vs batch size (reference's -b flag; b=1 is its
     # default engine, b=32 its published config)

@@ -253,6 +253,8 @@ def search_qadc_ivf_sharded(
     """
     if index.pq.sq_bits != 4:
         raise ValueError("Quick ADC requires sq_bits == 4")
+    # Probing more partitions than exist == probing all (see ivf.search_qadc).
+    ma = min(ma, index.part_count)
     if mesh is None:
         mesh = make_mesh()
     if index.part_count % mesh.shape[SHARD_AXIS] != 0:

@@ -280,7 +280,6 @@ def _search_adc8_grouped_impl(
         build_scan8_tables,
         lut_scan8_grouped_prefetch,
         slots_to_rows,
-        window_slots,
     )
 
     parts, rot = assign_queries(index, queries, ma)
@@ -290,13 +289,12 @@ def _search_adc8_grouped_impl(
     qa = q * ma
     part_pad = index.part_pad
     cpr = 128 // m
-    lanes = m * 256
     block_n = math.gcd(block_n, part_pad)
     if window is None:
         window = min(cpr, 16)
 
     routed = route_queries(parts, index.part_count, group_size)
-    gcap, g = routed.gcap, routed.group_size
+    g = routed.group_size
 
     t8 = build_scan8_tables(tables.reshape(qa, m, 256), q_pad=qa).T  # (QA, lanes)
     (tg,) = _group_table_slabs(routed, t8)
@@ -401,13 +399,12 @@ def _search_adc4_grouped_impl(
     q = queries.shape[0]
     qa = q * ma
     part_pad = index.part_pad
-    lanes = (m // 2) * 16
     block_n = math.gcd(block_n, part_pad)
     if window is None:
         window = min(codes_per_row(m // 2), 16)
 
     routed = route_queries(parts, index.part_count, group_size)
-    gcap, g = routed.gcap, routed.group_size
+    g = routed.group_size
 
     tlo_pairs, thi_pairs = build_scan_tables(tables.reshape(qa, m, 16), q_pad=qa)
     glo, ghi = _group_table_slabs(
@@ -734,13 +731,12 @@ def _search_qadc_grouped_impl(
     m = index.pq.sq_count
     qa = q * ma
     part_pad = index.part_pad
-    lanes = (m // 2) * 16
     # block_n must divide part_pad; part_pad is a PART_ALIGN (512) multiple,
     # so gcd(block_n, part_pad) is 512/1024/2048 — always a valid block.
     block_n = math.gcd(block_n, part_pad)
 
     routed = route_queries(parts, index.part_count, group_size)
-    gcap, g = routed.gcap, routed.group_size
+    g = routed.group_size
 
     # Per-pair kernel tables into group slots (_group_table_slabs: scatter
     # pair ids + row gather; a direct 2-axis scatter is pathological on TPU).

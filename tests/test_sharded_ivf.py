@@ -71,3 +71,33 @@ def test_sharded_recall_vs_exact(built):
     )
     rec = recall_at_r(np.asarray(labels), gt)
     assert rec > 0.85, rec
+
+
+def test_sharded_ma_exceeds_part_count(rng):
+    """ma > part_count through the sharded path clamps to probing all."""
+    import jax.numpy as jnp
+    from qadc_tpu.dist.mesh import make_mesh
+    from qadc_tpu.dist.sharded_ivf import (
+        search_qadc_ivf_sharded,
+        shard_ivf_partitions,
+    )
+    from qadc_tpu.index import ivf
+    from qadc_tpu.ops.knn import assign_nearest
+    from qadc_tpu.quantizers.pq import train_pq
+
+    base = rng.normal(size=(1500, 32)).astype(np.float32)
+    coarse = ivf.train_coarse(jax.random.PRNGKey(1), base, part_count=8, iters=4)
+    a = np.asarray(assign_nearest(base, coarse))
+    pq = train_pq(jax.random.PRNGKey(2), base - np.asarray(coarse)[a], 16, 4, iters=4)
+    index = ivf.add(ivf.IVFIndex.create(pq, coarse), base)
+    mesh = make_mesh(8)
+    sharded = shard_ivf_partitions(index, mesh)
+    qs = jnp.asarray(base[:4] + 0.01)
+    d_all, l_all = search_qadc_ivf_sharded(
+        sharded, qs, r=10, ma=sharded.part_count, keep=0.05, mesh=mesh,
+        interpret=True,
+    )
+    d_big, l_big = search_qadc_ivf_sharded(
+        sharded, qs, r=10, ma=100, keep=0.05, mesh=mesh, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(l_big), np.asarray(l_all))
