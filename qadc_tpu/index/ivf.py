@@ -189,6 +189,10 @@ def search_adc(
                 (index.pq.sq_bits == 8 and 128 % index.pq.sq_count == 0)
                 or (index.pq.sq_bits == 4 and index.pq.sq_count in (16, 32))
             )
+        ) or (
+            # 16-bit grouped is pure jnp (decode-GEMM, no Pallas): profitable
+            # whenever probes repeat partitions, on any backend.
+            index.pq.sq_bits == 16 and index.part_pad % 512 == 0
         )
     if grouped and index.pq.sq_bits == 4:
         return _search_adc4_grouped_impl(
@@ -198,6 +202,8 @@ def search_adc(
         return _search_adc8_grouped_impl(
             index, queries, r, ma, group_size, interpret=interpret
         )
+    if grouped and index.pq.sq_bits == 16:
+        return _search_adc16_grouped_impl(index, queries, r, ma, group_size)
     return _search_adc_jnp_impl(index, queries, r, ma)
 
 
@@ -361,6 +367,123 @@ def _search_adc8_grouped_impl(
     fd = jnp.sum(tab_flat[flat_ix], axis=-1)              # (Q, wq) f32
     fd = jnp.where(jnp.isfinite(screen_v), fd, jnp.inf)
     if r > wq:  # tiny probed volume: pad to the (Q, r) contract
+        fd = jnp.pad(fd, [(0, 0), (0, r - wq)], constant_values=jnp.inf)
+        cand_lab = jnp.pad(cand_lab, [(0, 0), (0, r - wq)])
+    return topk_smallest(fd, cand_lab, r)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("r", "ma", "group_size", "window", "group_chunk"),
+)
+def _search_adc16_grouped_impl(
+    index: IVFIndex, queries, r: int, ma: int, group_size: int,
+    window: int = 16, group_chunk: int = 8,
+):
+    """16-bit IVF ADC, grouped: decode each DISTINCT probed partition once.
+
+    The 65536-entry tables never materialize (reconstruction-GEMM scan, as
+    flat._search_adc_recon); MoE routing means a partition probed by many
+    queries is decoded once and GEMMed against its whole query group, vs the
+    per-assignment path's Q*ma decodes. Chunked over groups (lax.map) so the
+    decoded partitions and distance blocks stay O(group_chunk * part_pad).
+    Per-window argmin candidates, exact reconstruction rerank of the 2r
+    screened winners. Reference: scan_standard<uint16_t> over probed
+    partitions (query_common.hpp:92-118).
+    """
+    from qadc_tpu.index.flat import decode_rows
+    from qadc_tpu.index.routing import route_queries
+
+    parts, rot = assign_queries(index, queries, ma)
+    m = index.pq.sq_count
+    cb = index.pq.code_size
+    q = queries.shape[0]
+    qa = q * ma
+    dim = rot.shape[-1]
+    part_pad = index.part_pad
+    c = part_pad // window
+
+    routed = route_queries(parts, index.part_count, group_size)
+    gcap, g = routed.gcap, routed.group_size
+    qa_g = routed.qa_group.reshape(qa)
+    qa_s = routed.qa_slot.reshape(qa)
+    slot_to_pair = jnp.zeros((gcap * g,), jnp.int32).at[qa_g * g + qa_s].set(
+        jnp.arange(qa, dtype=jnp.int32)
+    )
+    rotq = rot.reshape(qa, dim)
+    qslab = rotq[slot_to_pair].reshape(gcap, g, dim)
+
+    gcap_pad = -(-gcap // group_chunk) * group_chunk
+    gp = jnp.pad(routed.group_part, (0, gcap_pad - gcap))
+    qslab = jnp.pad(qslab, [(0, gcap_pad - gcap), (0, 0), (0, 0)])
+
+    def chunk_fn(ci):
+        gp_c = jax.lax.dynamic_slice_in_dim(gp, ci * group_chunk, group_chunk)
+        codes_c = index.codes[gp_c]                   # (ch, rows, 128) rows
+        idx = unpack_codes(codes_c.reshape(group_chunk * part_pad, cb), m, 16)
+        dec = decode_rows(index.pq, idx).reshape(group_chunk, part_pad, dim)
+        qs_c = jax.lax.dynamic_slice_in_dim(qslab, ci * group_chunk, group_chunk)
+        cross = jnp.einsum(
+            "cpd,cgd->cgp", dec, qs_c,
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+        d = (
+            jnp.sum(qs_c * qs_c, -1)[:, :, None]
+            + jnp.sum(dec * dec, -1)[:, None, :]
+            - 2.0 * cross
+        )                                             # (ch, g, part_pad)
+        dw = d.reshape(group_chunk, g, c, window)
+        return jnp.min(dw, -1), jnp.argmin(dw, -1).astype(jnp.int32)
+
+    mins, args = jax.lax.map(chunk_fn, jnp.arange(gcap_pad // group_chunk))
+    vals_rows = mins.reshape(gcap_pad * g, c)[: gcap * g]
+    arg_rows = args.reshape(gcap_pad * g, c)[: gcap * g]
+
+    cv = vals_rows[qa_g * g + qa_s]                   # (QA, C)
+    rows_local = (
+        jnp.arange(c, dtype=jnp.int32)[None, :] * window
+        + arg_rows[qa_g * g + qa_s]
+    )                                                 # (QA, C) code order
+    p_of_pair = parts.reshape(qa)
+    sz = index.part_sizes[p_of_pair]
+    # Windows are CONSECUTIVE codes here: valid iff the window starts before
+    # the partition's real size; clamp padded argmins to the last real code
+    # keeping only the window that contains it (flood dedup, see the 8-bit
+    # grouped path).
+    win_start = jnp.arange(c, dtype=jnp.int32)[None, :] * window
+    win_has_valid = win_start < sz[:, None]
+    clamped = rows_local >= sz[:, None]
+    last = jnp.maximum(sz - 1, 0)
+    keep = (~clamped) | (
+        jnp.arange(c, dtype=jnp.int32)[None, :] == (last // window)[:, None]
+    )
+    cv = jnp.where(win_has_valid & keep, cv, jnp.inf)
+    rows_local = jnp.minimum(rows_local, last[:, None])
+
+    wq = min(2 * r, ma * c)
+    cv_q = cv.reshape(q, ma * c)
+    screen_v, selq = screen_smallest(cv_q, wq)
+    sel_ai = selq // c
+    sel_pair = jnp.arange(q, dtype=jnp.int32)[:, None] * ma + sel_ai
+    cand_local = jnp.take_along_axis(rows_local.reshape(q, ma * c), selq, axis=1)
+    sel_part = _select_cols(parts, sel_ai, ma)
+    cand_global = sel_part * part_pad + cand_local
+    cand_lab = index.labels.reshape(-1)[cand_global]
+
+    # Exact reconstruction rerank of the winners: decode wq codes per query
+    # and measure against each candidate's own rotated residual query.
+    from qadc_tpu.core.packing import gather_codes_row128
+
+    cand_codes = gather_codes_row128(
+        index.codes.reshape(-1, 128), cand_global, cb
+    )
+    idx16 = unpack_codes(cand_codes, m, 16)           # (Q, wq, M)
+    dec = decode_rows(index.pq, idx16)                # (Q, wq, dim)
+    qvec = rotq[sel_pair]                             # (Q, wq, dim)
+    fd = jnp.sum((qvec - dec) ** 2, axis=-1)
+    fd = jnp.where(jnp.isfinite(screen_v), fd, jnp.inf)
+    if r > wq:
         fd = jnp.pad(fd, [(0, 0), (0, r - wq)], constant_values=jnp.inf)
         cand_lab = jnp.pad(cand_lab, [(0, 0), (0, r - wq)])
     return topk_smallest(fd, cand_lab, r)

@@ -127,3 +127,28 @@ def test_16bit_small_chunk_r_exceeds_windows(rng):
     dm = ((rot[:, None, :] - dec[None, :, :]) ** 2).sum(-1)
     order = np.argsort(dm, axis=1)[:, :100]
     assert (np.asarray(l) == order).mean() > 0.999
+
+
+def test_16bit_ivf_grouped_matches_jnp(rng):
+    """Grouped 16-bit IVF (decode each probed partition once) vs the jnp
+    per-assignment oracle: top-1 exact, distances exact where labels agree,
+    recall parity. Reference: scan_standard<uint16_t> (query_common.hpp:92-118)."""
+    import jax.numpy as jnp
+    from qadc_tpu.index import ivf
+    from qadc_tpu.ops.knn import assign_nearest
+
+    m, dim, n = 2, 8, 4000
+    base = rng.normal(size=(n, dim)).astype(np.float32)
+    queries = base[:8] + 0.001 * rng.normal(size=(8, dim)).astype(np.float32)
+    coarse = ivf.train_coarse(jax.random.PRNGKey(0), base[:2000], 8, iters=5)
+    pq = _mini_pq16(rng, m, dim)
+    index = ivf.add(ivf.IVFIndex.create(pq, coarse), base)
+    d0, l0 = ivf.search_adc(index, queries, r=20, ma=4, grouped=False)
+    d1, l1 = ivf.search_adc(index, queries, r=20, ma=4)  # auto: grouped
+    d0, l0, d1, l1 = map(np.asarray, (d0, l0, d1, l1))
+    np.testing.assert_array_equal(l1[:, 0], l0[:, 0])
+    same = l0 == l1
+    assert same.mean() > 0.3
+    np.testing.assert_allclose(d1[same], d0[same], rtol=1e-4, atol=1e-3)
+    _, gt = exact_knn(queries, base, 1)
+    assert recall_at_r(l1, np.asarray(gt)) >= recall_at_r(l0, np.asarray(gt)) - 0.01
