@@ -63,19 +63,29 @@ def main():
         return jnp.dot(acc, s_mat, precision=jax.lax.Precision.HIGHEST)
 
     def mask(idx, parts, d, q):
-        pflat = parts.reshape(-1)
+        # Production masking: finite sentinel, no up-front label gather
+        # (_search_qadc_direct_impl).
         d = d.reshape(q, ma * idx.part_pad)
-        lab = idx.labels[pflat].reshape(q, ma * idx.part_pad)
         sz = idx.part_sizes[parts]
         col = jnp.arange(idx.part_pad, dtype=jnp.int32)
         valid = (col[None, None, :] < sz[:, :, None]).reshape(
             q, ma * idx.part_pad
         )
-        return jnp.where(valid, d, jnp.inf), lab
+        return jnp.where(valid, d, jnp.float32(3.0e38))
 
-    def screen(d, lab, wq):
-        sv, si = screen_smallest(d, wq)
-        sl = jnp.take_along_axis(lab, si, axis=-1)
+    def screen(idx, parts, d, q, wq):
+        # Production screen: bf16 input on TPU, exact-value regather,
+        # winners-only label reconstruction via select-accumulate.
+        from qadc_tpu.index.ivf import _select_cols
+
+        d_s = d.astype(jnp.bfloat16) if jax.default_backend() == "tpu" else d
+        _, si = screen_smallest(d_s, wq)
+        sv = jnp.take_along_axis(d, si, axis=-1)
+        a_id = si // idx.part_pad
+        part_sel = _select_cols(parts, a_id, ma)
+        sl = idx.labels.reshape(-1)[
+            part_sel * idx.part_pad + si % idx.part_pad
+        ]
         return sv, sl
 
     stages = {}
@@ -94,14 +104,14 @@ def main():
             d = smat(acc)
             if upto == 3:
                 return d[0, 0]
-            d, lab = mask(idx, parts, d, q)
+            d = mask(idx, parts, d, q)
             if upto == 4:
                 return d[0, 0]
-            sv, sl = screen(d, lab, min(2 * r, d.shape[1]))
+            sv, sl = screen(idx, parts, d, q, min(2 * r, d.shape[1]))
             if upto == 5:
                 return sv[0, 0]
             fv, fl = topk_smallest(sv, sl, r)
-            return fv[0, 0]
+            return jnp.where(fv[0, 0] >= 3.0e38, jnp.inf, fv[0, 0])
 
         return body
 
