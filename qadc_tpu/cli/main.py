@@ -145,7 +145,7 @@ def cmd_query(args):
         batch_size=args.batch,
         rerank=not args.no_rerank,
     )
-    dists, labels, metrics = engine.run(queries)
+    dists, labels, metrics = engine.run(queries, with_metrics=True)
     recall = recall_at_r(labels, np.asarray(gt))
     if args.adc_type == "qadc":
         print(f"r,recall,ma,adc_type,keep,{metrics.HEADER}")

@@ -33,9 +33,12 @@ def maybe_init_distributed(
     """Initialize jax.distributed for multi-host runs; safe to call anywhere.
 
     Resolution order: explicit args > QADC_COORDINATOR/QADC_NUM_PROCESSES/
-    QADC_PROCESS_ID env vars > jax's own auto-detection (TPU pod metadata,
-    SLURM, etc. — jax.distributed.initialize() with no args). Single-process
-    runs with none of these configured are a no-op.
+    QADC_PROCESS_ID env vars > (only if QADC_DISTRIBUTED=auto) jax's own
+    auto-detection (TPU pod metadata, SLURM, etc.). The auto-detect probe is
+    opt-in because in partially-configured environments (pod metadata
+    reachable but coordinator down, stale SLURM vars) it can BLOCK instead of
+    raising — the default must stay a guaranteed no-op for single-process
+    runs.
 
     Returns True when a multi-process group is (or already was) initialized.
     """
@@ -57,10 +60,13 @@ def maybe_init_distributed(
             process_id=process_id,
         )
         return True
-    # No explicit config: let jax probe cluster environments (TPU pod, SLURM,
-    # GKE). On a plain single process this raises — treat as single-process.
-    try:
-        jax.distributed.initialize()
-        return jax.process_count() > 1
-    except Exception:
-        return False
+    # No explicit config: the no-arg cluster probe (TPU pod, SLURM, GKE) can
+    # hang rather than raise when an environment is half-configured, so it is
+    # opt-in via QADC_DISTRIBUTED=auto; default is a no-op.
+    if os.environ.get("QADC_DISTRIBUTED") == "auto":
+        try:
+            jax.distributed.initialize()
+            return jax.process_count() > 1
+        except Exception:
+            return False
+    return False

@@ -150,12 +150,16 @@ class QueryEngine:
             metrics.add(0.0, t_front / q, table_us / q, scan_us / q)
         return metrics
 
-    def run(self, queries, with_metrics: bool = True):
+    def run(self, queries, with_metrics: bool = False):
         """Process all queries in fixed-size batches.
 
-        with_metrics measures the phase breakdown ONCE on the first full batch
-        (chained honest timing, see measure_phases) — the reference's CSV is
-        an average over queries anyway — then all batches run the fused path.
+        with_metrics=True measures the phase breakdown ONCE on the first full
+        batch (chained honest timing, see measure_phases) — the reference's
+        CSV is an average over queries anyway — then all batches run the
+        fused path. NOTE: the measurement itself re-runs cumulative pipeline
+        prefixes hundreds of times (3 prefixes × warmup+iters × chains up to
+        k_hi), which is significant at production index sizes; it is off by
+        default and enabled by the CLI, which owns the CSV metrics contract.
 
         Returns (dists (Q, r), labels (Q, r), QueryMetrics).
         """

@@ -40,6 +40,13 @@ def repad_partitions(index: IVFIndex, part_pad: int) -> IVFIndex:
     >= max_part_size; used by geometry tests and the multichip dryrun to
     exercise specific block geometries.
     """
+    if part_pad % PART_ALIGN != 0:
+        raise ValueError(f"part_pad={part_pad} must be a multiple of {PART_ALIGN}")
+    if part_pad < index.max_part_size:
+        raise ValueError(
+            f"part_pad={part_pad} < max_part_size={index.max_part_size}: "
+            "re-padding would silently drop real codes"
+        )
     p = index.part_count
     cb = index.pq.code_size
     cpr = 128 // cb

@@ -40,11 +40,18 @@ class SearchServer:
         batch_size: int = 128,
         max_wait_ms: float = 2.0,
         search_fn=None,
+        max_consecutive_failures: int = 3,
     ):
         """search_fn: optional (index, batch) -> (dists, labels) override —
         e.g. a partial of dist.sharded_ivf.search_qadc_ivf_sharded to serve a
         partition-sharded index over a mesh; default routes to the local
-        flat/ivf search for adc_type."""
+        flat/ivf search for adc_type.
+
+        A failed batch fails only its own callers' futures; the server keeps
+        serving (transient device/relay errors must not kill serving, SURVEY
+        §5.3). Only max_consecutive_failures failures in a row — evidence of
+        poisoned state, not a transient — close the server and drain the
+        queue."""
         self.index = index
         self.r = r
         self.ma = ma
@@ -63,6 +70,8 @@ class SearchServer:
                 raise TypeError(f"unsupported index type {type(index)}")
             if adc_type == "qadc" and index.pq.sq_bits != 4:
                 raise ValueError("Quick ADC requires sq_bits == 4")
+        self.max_consecutive_failures = max_consecutive_failures
+        self._fail_streak = 0
         self._q: queue.Queue = queue.Queue()
         self._closed = False
         # Guards the closed-check + enqueue in submit() against the worker's
@@ -117,12 +126,16 @@ class SearchServer:
                     batch[i] = vec
                 dists, labels = self._search(batch)
                 dists, labels = np.asarray(dists), np.asarray(labels)
-            except Exception as e:  # noqa: BLE001 — fail every caller, not silently
+            except Exception as e:  # noqa: BLE001 — fail this batch's callers, not silently
                 for _, fut in pending:
                     fut.set_exception(e)
-                # Close + drain atomically vs submit(): once the lock is
-                # released, any submit sees _closed and fails fast, so
-                # nothing can enqueue after the drain and block forever.
+                self._fail_streak += 1
+                if self._fail_streak < self.max_consecutive_failures:
+                    continue  # transient failure: keep serving
+                # Poisoned state (N failures in a row): close + drain
+                # atomically vs submit(): once the lock is released, any
+                # submit sees _closed and fails fast, so nothing can enqueue
+                # after the drain and block forever.
                 with self._lock:
                     self._closed = True
                     while True:
@@ -132,6 +145,7 @@ class SearchServer:
                             return
                         if nxt is not None:
                             nxt[1].set_exception(e)
+            self._fail_streak = 0
             self._batches += 1
             for i, (_, fut) in enumerate(pending):
                 fut.set_result((dists[i], labels[i]))

@@ -76,3 +76,19 @@ def test_flat_builder_matches_oneshot(data):
     streamed = b.finalize()
     assert streamed.n == one.n
     np.testing.assert_array_equal(np.asarray(streamed.codes), np.asarray(one.codes))
+
+
+def test_repad_rejects_lossy_target(data):
+    """repad_partitions must refuse a part_pad that would drop real codes
+    (or one not PART_ALIGN-aligned) instead of silently duplicating tails."""
+    from qadc_tpu.index.build import repad_partitions
+    from qadc_tpu.index.ivf import PART_ALIGN
+
+    base, coarse, pq = data
+    index = ivf.add(ivf.IVFIndex.create(pq, coarse), base)
+    with pytest.raises(ValueError, match="multiple"):
+        repad_partitions(index, PART_ALIGN + 1)
+    small = (index.max_part_size - 1) // PART_ALIGN * PART_ALIGN
+    if small >= PART_ALIGN:
+        with pytest.raises(ValueError, match="drop"):
+            repad_partitions(index, small)

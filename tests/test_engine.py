@@ -25,7 +25,7 @@ def built():
 def test_engine_flat_qadc(built):
     index, base, queries, gt = built
     engine = QueryEngine(index, r=100, keep=0.05, adc_type="qadc", batch_size=8)
-    d, l, metrics = engine.run(queries)
+    d, l, metrics = engine.run(queries, with_metrics=True)
     assert d.shape == (21, 100) and l.shape == (21, 100)  # tail batch unpadded
     assert recall_at_r(l, gt) > 0.85
     avg = metrics.averaged()
@@ -43,7 +43,7 @@ def test_engine_ivf_adc(built):
     pq = train_pq(jax.random.PRNGKey(2), base - np.asarray(coarse)[a], 8, 8, iters=8)
     iv = ivf.add(ivf.IVFIndex.create(pq, coarse), base)
     engine = QueryEngine(iv, r=100, ma=4, adc_type="adc", batch_size=8)
-    d, l, metrics = engine.run(queries)
+    d, l, metrics = engine.run(queries, with_metrics=True)
     assert recall_at_r(l, gt) > 0.8
     assert metrics.averaged().index_us > 0
 
@@ -61,6 +61,6 @@ def test_engine_rejects_qadc_on_8bit(built):
 def test_engine_no_metrics_mode(built):
     index, _, queries, _ = built
     engine = QueryEngine(index, r=10, keep=0.05, batch_size=32)
-    d, l, metrics = engine.run(queries, with_metrics=False)
+    d, l, metrics = engine.run(queries)  # default: no measurement overhead
     assert metrics.count == 0
     assert d.shape == (21, 10)

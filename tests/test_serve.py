@@ -100,3 +100,54 @@ def test_serve_sharded_search_fn(built):
     d_ref, l_ref = fn(sharded, queries)
     for i, (d, l) in enumerate(results):
         np.testing.assert_array_equal(l, np.asarray(l_ref)[i])
+
+
+def test_serve_survives_transient_failure(built):
+    """One failed batch fails only its own futures; the server keeps serving
+    (SURVEY §5.3 restartable serving). Only max_consecutive_failures in a
+    row close it."""
+    index, base = built
+    calls = {"n": 0}
+
+    def flaky(idx, batch):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("transient device error")
+        return flat.search_qadc(idx, batch, r=5, keep=0.05)
+
+    with SearchServer(
+        index, batch_size=4, max_wait_ms=5, search_fn=flaky,
+        max_consecutive_failures=3,
+    ) as srv:
+        f1 = srv.submit(base[0])
+        with pytest.raises(RuntimeError, match="transient"):
+            f1.result(timeout=60)
+        # Server still alive: next submit succeeds end to end.
+        f2 = srv.submit(base[1])
+        d, l = f2.result(timeout=60)
+        assert l[0] == 1
+
+
+def test_serve_closes_after_consecutive_failures(built):
+    index, base = built
+
+    def always_fail(idx, batch):
+        raise RuntimeError("poisoned")
+
+    srv = SearchServer(
+        index, batch_size=1, max_wait_ms=1, search_fn=always_fail,
+        max_consecutive_failures=2,
+    )
+    try:
+        for _ in range(2):
+            f = srv.submit(base[0])
+            with pytest.raises(RuntimeError, match="poisoned"):
+                f.result(timeout=60)
+        # After the streak the server is closed: submit fails fast.
+        deadline = __import__("time").monotonic() + 10
+        while not srv._closed and __import__("time").monotonic() < deadline:
+            __import__("time").sleep(0.01)
+        with pytest.raises(RuntimeError, match="closed"):
+            srv.submit(base[0])
+    finally:
+        srv.close()
