@@ -5,6 +5,9 @@ Reference executables (README.md:138-146) -> subcommands:
   indexdb_create1/2 +
     external PQ training   -> qadc create-index   (ONE step: coarse k-means AND
                               PQ/OPQ training on residuals are in-framework)
+  indexdb_create2          -> qadc set-quantizer  (external-training round
+                              trip: create-index --residuals-out -> train
+                              externally -> set-quantizer -> add -> query)
   db_add                   -> qadc add            (streaming 1M-vector chunks)
   db_query                 -> qadc query --adc-type adc
   db_query_4               -> qadc query --adc-type qadc  (default)
@@ -68,7 +71,6 @@ def cmd_create_index(args):
     from qadc_tpu.io import load_vectors, save_index
     from qadc_tpu.ops.knn import assign_nearest
 
-    m, b = _parse_sq(args.sq)
     learn = load_vectors(args.learn)
     key = jax.random.PRNGKey(args.seed)
     k1, k2 = jax.random.split(key)
@@ -88,16 +90,59 @@ def cmd_create_index(args):
 
         save_vectors(args.residuals_out, residuals)
         print(f"residuals written to {args.residuals_out}", file=sys.stderr)
-    if args.opq:
+    if args.quantizer:
+        # Pre-trained (typically externally trained on a residuals file from
+        # a previous --residuals-out run) — reference indexdb_create2.
+        from qadc_tpu.io import load_quantizer_file
+
+        pq = load_quantizer_file(args.quantizer)
+        if pq.dim != learn.shape[1]:
+            raise SystemExit(f"quantizer dim {pq.dim} != data dim {learn.shape[1]}")
+    elif args.opq:
         from qadc_tpu.quantizers.opq import train_opq
 
+        m, b = _parse_sq(args.sq)
         pq = train_opq(k2, residuals, m, b)
     else:
         from qadc_tpu.quantizers.pq import train_pq
 
+        m, b = _parse_sq(args.sq)
         pq = train_pq(k2, residuals, m, b)
     save_index(args.index, IVFIndex.create(pq, coarse))
     print(f"created IVF index at {args.index}", file=sys.stderr)
+
+
+def cmd_set_quantizer(args):
+    """Swap an externally trained quantizer into an existing EMPTY index.
+
+    Reference: indexdb_create2 (indexdb_create2.cpp:41-59) — step 2 of the
+    external-training workflow: create-index --residuals-out R -> train
+    PQ/OPQ on R externally -> set-quantizer -> add -> query.
+    """
+    from qadc_tpu.index import ivf
+    from qadc_tpu.index.flat import FlatIndex
+    from qadc_tpu.io import load_index, load_quantizer_file, save_index
+
+    index = load_index(args.index)
+    pq = load_quantizer_file(args.quantizer)
+    if isinstance(index, FlatIndex):
+        if index.n != 0:
+            raise SystemExit(
+                f"index is non-empty (n={index.n}); swap before adding vectors"
+            )
+        if pq.dim != index.pq.dim:
+            raise SystemExit(f"quantizer dim {pq.dim} != index dim {index.pq.dim}")
+        new = FlatIndex.create(pq)
+    else:
+        try:
+            new = ivf.set_quantizer(index, pq)
+        except ValueError as e:
+            raise SystemExit(str(e))
+    save_index(args.out or args.index, new)
+    print(
+        f"installed quantizer {args.quantizer} into {args.out or args.index}",
+        file=sys.stderr,
+    )
 
 
 def cmd_add(args):
@@ -235,7 +280,20 @@ def build_parser():
     c.add_argument("--seed", type=int, default=0)
     c.add_argument("--residuals-out", help="also write residuals as .fvecs "
                    "(external-training interop, reference indexdb_create1)")
+    c.add_argument("--quantizer", help="use this pre-trained .pq.data/"
+                   ".opq.data instead of training in-framework "
+                   "(reference indexdb_create2)")
     c.set_defaults(fn=cmd_create_index)
+
+    c = sub.add_parser(
+        "set-quantizer",
+        help="swap an externally trained .pq.data/.opq.data into an "
+             "existing empty index (reference indexdb_create2)",
+    )
+    c.add_argument("index")
+    c.add_argument("quantizer", help=".pq.data/.opq.data file")
+    c.add_argument("--out", help="write to a new index path instead of in place")
+    c.set_defaults(fn=cmd_set_quantizer)
 
     c = sub.add_parser("info", help="describe an index")
     c.add_argument("index")

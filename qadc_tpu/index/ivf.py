@@ -100,6 +100,27 @@ class IVFIndex:
         )
 
 
+def set_quantizer(index: IVFIndex, pq: ProductQuantizer) -> IVFIndex:
+    """Install an (externally trained) quantizer into an EMPTY IVF index.
+
+    Reference: indexdb_create2 swaps the real residual-trained PQ/OPQ into
+    the empty index emitted by indexdb_create1 (indexdb_create2.cpp:41-59) —
+    the second step of its external-training workflow (README.md:166-260).
+    Codes already present were encoded with the old quantizer and would be
+    silently misinterpreted, so a non-empty index is rejected; swap first,
+    then add vectors.
+    """
+    dim = index.coarse_centroids.shape[1]
+    if pq.dim != dim:
+        raise ValueError(f"quantizer dim {pq.dim} != index dim {dim}")
+    if index.n != 0:
+        raise ValueError(
+            f"cannot swap quantizer into a non-empty index (n={index.n}): "
+            "existing codes were encoded with the old quantizer"
+        )
+    return IVFIndex.create(pq, index.coarse_centroids)
+
+
 def keep_for_init(init: int, part_count: int, ma: int, n: int) -> float:
     """Convert the paper's `init` parameter to a keep fraction.
 

@@ -123,3 +123,41 @@ def test_info_and_residuals_out(dataset, capsys):
     a = np.asarray(assign_nearest(learn, index.coarse_centroids))
     recon = np.asarray(index.coarse_centroids)[a] + load_vectors(res)
     np.testing.assert_allclose(recon, learn, atol=1e-4)
+
+
+def test_external_training_round_trip(dataset, capsys):
+    """The reference's 3-step workflow (README.md:166-260): indexdb_create1
+    (create-index --residuals-out) -> external PQ/OPQ training on the
+    residuals -> indexdb_create2 (set-quantizer) -> db_add -> db_query_4."""
+    import jax
+
+    from qadc_tpu.io import load_index, load_vectors, save_quantizer_file
+    from qadc_tpu.quantizers.opq import train_opq
+
+    idx = str(dataset["tmp"] / "ext_idx")
+    res = str(dataset["tmp"] / "ext_residuals.fvecs")
+    main(["create-index", dataset["learn"], idx, "--parts", "8",
+          "--sq", "4x4", "--residuals-out", res])
+
+    # "External" training: an OPQ trained outside the index-creation step on
+    # the residuals file, saved in the reference's .opq.data format.
+    residuals = load_vectors(res)
+    opq = train_opq(jax.random.PRNGKey(9), residuals, 16, 4, opq_iters=3,
+                    kmeans_iters=8)
+    qfile = str(dataset["tmp"] / "ext.opq.data")
+    save_quantizer_file(qfile, opq)
+
+    main(["set-quantizer", idx, qfile])
+    index = load_index(idx)
+    assert index.pq.sq_count == 16 and index.pq.sq_bits == 4  # swapped in
+    assert index.n == 0
+
+    main(["add", idx, dataset["base"]])
+    main(["query", idx, dataset["queries"], dataset["gt"],
+          "-r", "100", "-m", "4", "-k", "10", "-b", "8"])
+    out = capsys.readouterr().out.strip().splitlines()
+    assert float(out[-1].split(",")[1]) > 0.8  # recall
+
+    # Swapping into a non-empty index must fail.
+    with pytest.raises(SystemExit, match="non-empty"):
+        main(["set-quantizer", idx, qfile])
