@@ -81,6 +81,55 @@ def shard_ivf_partitions(index: IVFIndex, mesh) -> IVFIndex:
     )
 
 
+def load_sharded_index(path: str, mesh) -> IVFIndex:
+    """Assemble a partition-sharded IVFIndex from a sharded checkpoint, with
+    each PROCESS reading only its own shard file.
+
+    Multi-process counterpart of shard_ivf_partitions (which device_puts a
+    host-global array and so only works single-process): process i reads
+    shard_i of an io.checkpoint.save_index_sharded checkpoint written with
+    num_shards == jax.process_count(), and the global (P, ...) arrays are
+    assembled via jax.make_array_from_process_local_data — no host ever
+    materializes the whole index (SURVEY §5.8: per-host shard loading
+    replaces the reference's offline split_vecs distribution). Works
+    unchanged with one process (num_shards == 1).
+    """
+    from qadc_tpu.io.checkpoint import load_index_shard
+
+    procs = jax.process_count()
+    local, manifest = load_index_shard(path, jax.process_index())
+    if manifest["num_shards"] != procs:
+        raise ValueError(
+            f"checkpoint has {manifest['num_shards']} shards but "
+            f"{procs} processes are running"
+        )
+    per = int(manifest["parts_per_shard"])
+    p_pad = per * procs
+    # Each process's shard rows are contiguous in the global partition axis,
+    # so the mesh's device order must be process-major for the local rows to
+    # land on the process's own devices.
+    axis_devs = list(mesh.devices.reshape(-1))
+    pidx = [d.process_index for d in axis_devs]
+    if pidx != sorted(pidx):
+        raise ValueError("mesh device order must be process-major along the shard axis")
+
+    def mk(arr, spec):
+        arr = np.asarray(arr)
+        return jax.make_array_from_process_local_data(
+            NamedSharding(mesh, spec), arr, (p_pad,) + arr.shape[1:]
+        )
+
+    return IVFIndex(
+        pq=local.pq,
+        coarse_centroids=local.coarse_centroids,  # global, replicated
+        codes=mk(local.codes, P(SHARD_AXIS, None, None)),
+        labels=mk(local.labels, P(SHARD_AXIS, None)),
+        part_sizes=mk(local.part_sizes, P(SHARD_AXIS)),
+        n=local.n,
+        max_part_size=local.max_part_size,
+    )
+
+
 @partial(
     jax.jit,
     static_argnames=(
