@@ -133,12 +133,14 @@ def load_sharded_index(path: str, mesh) -> IVFIndex:
 @partial(
     jax.jit,
     static_argnames=(
-        "r", "ma", "keep", "prefix_pad", "group_size", "window", "interpret", "mesh"
+        "r", "ma", "keep", "prefix_pad", "group_size", "window", "interpret",
+        "mesh", "overlap_chunks",
     ),
 )
 def _search_impl(
     index: IVFIndex, queries, r: int, ma: int, keep: float, prefix_pad: int,
     group_size: int, window: int, interpret: bool, mesh,
+    overlap_chunks: int = 1,
 ):
     d = mesh.shape[SHARD_AXIS]
     p_total = index.part_count
@@ -208,69 +210,109 @@ def _search_impl(
             tables_g, bound[:, None, None, None], qmn[:, None, None, None]
         )
 
-        # ---- route owned pairs; unowned pairs route to partition 0 with a
-        # poisoned slot masked at candidate selection.
-        routed = route_queries(parts_safe, p_loc, group_size)
-        gcap, g = routed.gcap, routed.group_size
-        qa_g = routed.qa_group.reshape(qa)
-        qa_s = routed.qa_slot.reshape(qa)
-        tlo_p, thi_p = build_scan_tables(qtables.reshape(qa, m, 16), q_pad=qa)
-        tlo_p, thi_p = tlo_p.T, thi_p.T
-        s2p = jnp.zeros((gcap * g,), jnp.int32).at[qa_g * g + qa_s].set(
-            jnp.arange(qa, dtype=jnp.int32)
-        )
-        glo = (
-            tlo_p[s2p].reshape(gcap, g, lanes).transpose(0, 2, 1)
-            .reshape(gcap * lanes, g)
-        )
-        ghi = (
-            thi_p[s2p].reshape(gcap, g, lanes).transpose(0, 2, 1)
-            .reshape(gcap * lanes, g)
-        )
-        # Slot-major kernel output: skips the (gcap, C, G) -> (gcap, G, C)
-        # relayout copy (see index.ivf._search_qadc_grouped_impl).
-        vals_rows = lut_scan_grouped_prefetch(
-            codes_l.reshape(-1, 128), routed.group_part, glo, ghi,
-            rows_per_group=part_pad, cb=cb, block_n=block_n, window=window,
-            interpret=interpret, transpose_out=True,
-        )
-        c = part_pad // window
-        cv = vals_rows[qa_g * g + qa_s].astype(jnp.float32)
-        win_ids = jnp.arange(c, dtype=jnp.int32)
-        all_rows = slots_to_rows(window_slots(win_ids, block_n, window), block_n, cb)
-        szf = sizes_pair.reshape(qa)
-        win_valid = (jnp.min(all_rows, axis=1)[None, :] < szf[:, None]) & owned.reshape(
-            qa
-        )[:, None]
-        cv = jnp.where(win_valid, cv, jnp.inf)
+        from qadc_tpu.index.ivf import _group_nblk, window_rerank
 
-        # ---- query-level window merge + whole-window exact rerank (local,
-        # shared 2-D-shaped helper — see index.ivf.window_rerank).
-        from qadc_tpu.index.ivf import window_rerank
+        def scan_chunk(parts_c, sizes_c, qtables_c, tables_c, tiles_c):
+            """Scan + rerank one query sub-chunk; returns local top-r."""
+            qc = parts_c.shape[0]
+            qac = qc * ma
+            # ---- route owned pairs; unowned pairs route to partition 0 with
+            # a poisoned slot masked at candidate selection.
+            routed = route_queries(parts_c, p_loc, group_size)
+            gcap, g = routed.gcap, routed.group_size
+            qa_g = routed.qa_group.reshape(qac)
+            qa_s = routed.qa_slot.reshape(qac)
+            tlo_p, thi_p = build_scan_tables(
+                qtables_c.reshape(qac, m, 16), q_pad=qac
+            )
+            tlo_p, thi_p = tlo_p.T, thi_p.T
+            s2p = jnp.zeros((gcap * g,), jnp.int32).at[qa_g * g + qa_s].set(
+                jnp.arange(qac, dtype=jnp.int32)
+            )
+            glo = (
+                tlo_p[s2p].reshape(gcap, g, lanes).transpose(0, 2, 1)
+                .reshape(gcap * lanes, g)
+            )
+            ghi = (
+                thi_p[s2p].reshape(gcap, g, lanes).transpose(0, 2, 1)
+                .reshape(gcap * lanes, g)
+            )
+            # Slot-major kernel output: skips the (gcap, C, G) -> (gcap, G, C)
+            # relayout copy (see index.ivf._search_qadc_grouped_impl).
+            # group_nblk trims blocks past each partition's real size.
+            vals_rows = lut_scan_grouped_prefetch(
+                codes_l.reshape(-1, 128), routed.group_part, glo, ghi,
+                rows_per_group=part_pad, cb=cb, block_n=block_n, window=window,
+                interpret=interpret, transpose_out=True,
+                group_nblk=_group_nblk(
+                    sizes_l, routed.group_part, block_n, part_pad // block_n
+                ),
+            )
+            c = part_pad // window
+            cv = vals_rows[qa_g * g + qa_s].astype(jnp.float32)
+            win_ids = jnp.arange(c, dtype=jnp.int32)
+            all_rows = slots_to_rows(
+                window_slots(win_ids, block_n, window), block_n, cb
+            )
+            szf = sizes_c.reshape(qac)
+            cv = jnp.where(
+                (jnp.min(all_rows, axis=1)[None, :] < szf[:, None]), cv, jnp.inf
+            )
 
-        wq = min(2 * r, ma * c)
-        cv_q = cv.reshape(q, ma * c)
-        # bf16 screen on TPU (see index.ivf._search_qadc_grouped_impl):
-        # screen_v only feeds the isfinite dead-slot mask in window_rerank.
-        cv_s = (
-            cv_q.astype(jnp.bfloat16)
-            if jax.default_backend() == "tpu" else cv_q
-        )
-        screen_v, selq = screen_smallest(cv_s, wq)
-        sel_ai = selq // c
-        sel_wi = selq % c
-        sel_pair = jnp.arange(q, dtype=jnp.int32)[:, None] * ma + sel_ai
-        sel_part = jnp.take_along_axis(parts_safe, sel_ai, axis=1)
-        sel_sz = jnp.take_along_axis(sizes_pair, sel_ai, axis=1)
-        lv, ll = window_rerank(
-            codes_l.reshape(-1, 128), labels_l.reshape(-1), part_pad,
-            tables_g, screen_v, sel_part, sel_pair, sel_wi, sel_sz,
-            r, block_n, window, tiles=tiles, interpret=interpret,
-        )
+            # ---- query-level window merge + whole-window exact rerank
+            # (local, shared 2-D-shaped helper — index.ivf.window_rerank).
+            wq = min(2 * r, ma * c)
+            cv_q = cv.reshape(qc, ma * c)
+            # bf16 screen on TPU (see index.ivf._search_qadc_grouped_impl):
+            # screen_v only feeds the isfinite dead-slot mask in window_rerank.
+            cv_s = (
+                cv_q.astype(jnp.bfloat16)
+                if jax.default_backend() == "tpu" else cv_q
+            )
+            screen_v, selq = screen_smallest(cv_s, wq)
+            sel_ai = selq // c
+            sel_wi = selq % c
+            sel_pair = jnp.arange(qc, dtype=jnp.int32)[:, None] * ma + sel_ai
+            sel_part = jnp.take_along_axis(parts_c, sel_ai, axis=1)
+            sel_sz = jnp.take_along_axis(sizes_c, sel_ai, axis=1)
+            return window_rerank(
+                codes_l.reshape(-1, 128), labels_l.reshape(-1), part_pad,
+                tables_c, screen_v, sel_part, sel_pair, sel_wi, sel_sz,
+                r, block_n, window, tiles=tiles_c, interpret=interpret,
+            )
 
-        # ---- merge across shards.
-        all_v = jax.lax.all_gather(lv, SHARD_AXIS, axis=1, tiled=True)  # (Q, D*r)
-        all_l = jax.lax.all_gather(ll, SHARD_AXIS, axis=1, tiled=True)
+        # Unowned pairs are masked by zeroing their effective size: every
+        # window then reads as empty (inf) and the pair contributes nothing.
+        sizes_masked = jnp.where(owned, sizes_pair, 0)
+
+        # SCAN <-> MERGE OVERLAP (SURVEY §5.8): process the query batch in
+        # overlap_chunks sub-chunks; chunk i+1's scan has no data dependency
+        # on chunk i's all_gather, so XLA's async collectives ride ICI while
+        # the next scan computes. The final top-r merge consumes all chunks.
+        nchunks = overlap_chunks if q % overlap_chunks == 0 else 1
+        qc = q // nchunks
+        tlo_full, thi_full = tiles
+        gathered_v, gathered_l = [], []
+        for ci in range(nchunks):
+            qs, qe = ci * qc, (ci + 1) * qc
+            ps, pe = qs * ma, qe * ma
+            lv, ll = scan_chunk(
+                parts_safe[qs:qe], sizes_masked[qs:qe], qtables[qs:qe],
+                tables_g[qs:qe], (tlo_full[ps:pe], thi_full[ps:pe]),
+            )
+            # (Qc, D*r) — issued now, consumed after the remaining chunks.
+            gathered_v.append(
+                jax.lax.all_gather(lv, SHARD_AXIS, axis=1, tiled=True)
+            )
+            gathered_l.append(
+                jax.lax.all_gather(ll, SHARD_AXIS, axis=1, tiled=True)
+            )
+        all_v = (
+            gathered_v[0] if nchunks == 1 else jnp.concatenate(gathered_v, axis=0)
+        )
+        all_l = (
+            gathered_l[0] if nchunks == 1 else jnp.concatenate(gathered_l, axis=0)
+        )
         return topk_smallest(all_v, all_l, r)
 
     shard_fn = jax.shard_map(
@@ -293,12 +335,19 @@ def _search_impl(
 def search_qadc_ivf_sharded(
     index: IVFIndex, queries, r: int = 100, ma: int = 1, keep: float = 0.01,
     mesh=None, group_size: int = 128, window: int | None = None,
-    interpret: bool = False,
+    interpret: bool = False, overlap_chunks: int = 1,
 ):
     """Quick-ADC search over a partition-sharded IVFIndex.
 
     Same semantics as index.ivf.search_qadc (grouped path, rerank on); work
     and memory scale with 1/n_devices.
+
+    overlap_chunks > 1 software-pipelines the scan against the cross-shard
+    top-k all_gather (SURVEY §5.8 scan<->merge overlap): the query batch is
+    processed in that many sub-chunks, and chunk i+1's scan is independent of
+    chunk i's all_gather, so XLA's async collectives overlap it with compute.
+    Results are identical for any value (must divide the batch; falls back to
+    1 otherwise). Default 1 = off; A/B on hardware before changing.
     """
     if index.pq.sq_bits != 4:
         raise ValueError("Quick ADC requires sq_bits == 4")
@@ -313,5 +362,6 @@ def search_qadc_ivf_sharded(
     if window is None:
         window = min(128 // (index.pq.sq_count // 2), 16)
     return _search_impl(
-        index, queries, r, ma, keep, prefix_pad, group_size, window, interpret, mesh
+        index, queries, r, ma, keep, prefix_pad, group_size, window, interpret,
+        mesh, overlap_chunks,
     )

@@ -185,7 +185,7 @@ def assign_queries(index: IVFIndex, queries, ma: int):
 def search_adc(
     index: IVFIndex, queries, r: int = 100, ma: int = 1,
     grouped: bool | None = None, group_size: int = 128,
-    interpret: bool = False,
+    interpret: bool = False, scan_budget_bytes: int | None = None,
 ):
     """Conventional float ADC IVF search (reference: db_query.cpp).
 
@@ -215,14 +215,43 @@ def search_adc(
             # whenever probes repeat partitions, on any backend.
             index.pq.sq_bits == 16 and index.part_pad % 512 == 0
         )
+    budget = SCAN_BUDGET_BYTES if scan_budget_bytes is None else scan_budget_bytes
     if grouped and index.pq.sq_bits == 4:
-        return _search_adc4_grouped_impl(
-            index, queries, r, ma, group_size, interpret=interpret
+        def run4(qs):
+            return _search_adc4_grouped_impl(
+                index, qs, r, ma, group_size, interpret=interpret
+            )
+
+        window4 = min(codes_per_row(index.pq.code_size), 16)
+        chunk = _governed_query_chunk(
+            lambda qc: _grouped_scan_bytes(
+                qc, ma, index.part_count, index.part_pad, window4, group_size,
+                lanes=(index.pq.sq_count // 2) * 16, val_bytes=4,
+                slab_bytes=4, n_streams=1,
+            ),
+            queries.shape[0], budget,
         )
+        if chunk < queries.shape[0]:
+            return _run_query_chunks(run4, jnp.asarray(queries), chunk)
+        return run4(queries)
     if grouped and index.pq.sq_bits == 8:
-        return _search_adc8_grouped_impl(
-            index, queries, r, ma, group_size, interpret=interpret
+        def run8(qs):
+            return _search_adc8_grouped_impl(
+                index, qs, r, ma, group_size, interpret=interpret
+            )
+
+        window8 = min(128 // index.pq.sq_count, 16)
+        chunk = _governed_query_chunk(
+            lambda qc: _grouped_scan_bytes(
+                qc, ma, index.part_count, index.part_pad, window8, group_size,
+                lanes=index.pq.sq_count * 256, val_bytes=4,
+                slab_bytes=2, n_streams=2,  # vals + slots streams
+            ),
+            queries.shape[0], budget,
         )
+        if chunk < queries.shape[0]:
+            return _run_query_chunks(run8, jnp.asarray(queries), chunk)
+        return run8(queries)
     if grouped and index.pq.sq_bits == 16:
         return _search_adc16_grouped_impl(index, queries, r, ma, group_size)
     return _search_adc_jnp_impl(index, queries, r, ma)
@@ -332,6 +361,9 @@ def _search_adc8_grouped_impl(
         index.codes.reshape(-1, 128), routed.group_part, tg,
         rows_per_group=part_pad, m=m, block_n=block_n, window=window,
         interpret=interpret, transpose_out=True,
+        group_nblk=_group_nblk(
+            index.part_sizes, routed.group_part, block_n, part_pad // block_n
+        ),
     )
     c = part_pad // window
     cv = vals_rows[qa_g * g + qa_s]                       # (QA, C) [row gather]
@@ -559,6 +591,9 @@ def _search_adc4_grouped_impl(
         index.codes.reshape(-1, 128), routed.group_part, glo, ghi,
         rows_per_group=part_pad, cb=m // 2, block_n=block_n, window=window,
         interpret=interpret, transpose_out=True, acc_dtype_name="float32",
+        group_nblk=_group_nblk(
+            index.part_sizes, routed.group_part, block_n, part_pad // block_n
+        ),
     )
     c = part_pad // window
     qa_g = routed.qa_group.reshape(qa)
@@ -763,6 +798,57 @@ def _quantized_tables(index, queries, r, ma, keep, prefix_pad, interpret=False):
 # everything stays small (b=1..4 at SIFT1M geometry — the latency regime).
 DIRECT_MAX_CODES = 600_000
 
+# Memory governor for the grouped scan paths: the reference sizes its query
+# batch so the distance tables fit a 1 GiB buffer (TABLES_BUFFER_SIZE,
+# query_common.hpp:147,171-175). The grouped kernels' dominant transients —
+# the (gcap*G, C) window-minimum output, the (QA, C) per-pair gather, and the
+# (gcap*lanes, G) table slabs — all scale with the query count, so a large
+# b x ma config is CHUNKED over queries to stay within this budget instead of
+# discovering OOM at runtime.
+SCAN_BUDGET_BYTES = 2 << 30
+
+
+def _grouped_scan_bytes(
+    q: int, ma: int, part_count: int, part_pad: int, window: int,
+    group_size: int, lanes: int, val_bytes: int, slab_bytes: int,
+    n_streams: int,
+) -> int:
+    """Estimated transient HBM bytes of one grouped scan call."""
+    qa = q * ma
+    from qadc_tpu.index.routing import group_capacity
+
+    gcap = group_capacity(q, ma, part_count, group_size)
+    c = part_pad // window
+    vals = gcap * group_size * c * val_bytes * n_streams
+    gathered = qa * c * 4 * n_streams
+    slabs = 2 * gcap * lanes * group_size * slab_bytes
+    return vals + gathered + slabs
+
+
+def _governed_query_chunk(bytes_fn, q: int, budget: int) -> int:
+    """Largest power-of-two chunk <= q whose scan transients fit the budget."""
+    chunk = 1 << max(0, (q - 1).bit_length())
+    while chunk > 1 and bytes_fn(min(chunk, q)) > budget:
+        chunk //= 2
+    return min(chunk, q)
+
+
+def _run_query_chunks(search_one, queries, chunk: int):
+    """Run fixed-shape query chunks (jit compiles once; tail padded)."""
+    q = queries.shape[0]
+    out_d, out_l = [], []
+    for s in range(0, q, chunk):
+        batch = queries[s : s + chunk]
+        real = batch.shape[0]
+        if real < chunk:
+            batch = jnp.pad(batch, [(0, chunk - real), (0, 0)])
+        d, l = search_one(batch)
+        out_d.append(d[:real])
+        out_l.append(l[:real])
+    if len(out_d) == 1:
+        return out_d[0], out_l[0]
+    return jnp.concatenate(out_d), jnp.concatenate(out_l)
+
 
 @partial(jax.jit, static_argnames=("r", "ma", "interpret"))
 def _search_qadc_direct_impl(
@@ -794,11 +880,18 @@ def _search_qadc_direct_impl(
     pflat = parts.reshape(qa)
     if jax.default_backend() == "tpu" or interpret:
         # Scan partitions in place (scalar-prefetch) — no row/table gathers.
+        # Blocks past each partition's real size are trimmed (ragged skew
+        # control; block unit here is ROWS of gcd(512, rpp)).
         from qadc_tpu.kernels.lut_scan import rows_adc_grouped_prefetch
 
+        blk_rows = math.gcd(512, rpp)
+        sz_rows = -(-index.part_sizes[pflat] // cpr)      # rows with real codes
         acc = rows_adc_grouped_prefetch(
             index.codes.reshape(-1, 128), pflat, tlo, thi, rpp, cb=cb,
             interpret=interpret,
+            group_nblk=jnp.clip(
+                (sz_rows + blk_rows - 1) // blk_rows, 1, rpp // blk_rows
+            ).astype(jnp.int32),
         )
         s_mat = jnp.asarray(
             (np.arange(128)[:, None] // cb) == np.arange(cpr)[None, :],
@@ -894,10 +987,14 @@ def _search_qadc_grouped_impl(
     # kernel emits SLOT-MAJOR (gcap*G, C) window minima: the per-block
     # in-VMEM transpose replaces a whole-array relayout copy here (10.7 ms
     # of a 130 ms Deep100M b=2048 batch as a separate XLA transpose).
+    # group_nblk trims blocks past each partition's real size (skew control).
     vals_rows = lut_scan_grouped_prefetch(
         index.codes.reshape(-1, 128), routed.group_part, glo, ghi,
         rows_per_group=part_pad, cb=m // 2, block_n=block_n, window=window,
         interpret=interpret, transpose_out=True,
+        group_nblk=_group_nblk(
+            index.part_sizes, routed.group_part, block_n, part_pad // block_n
+        ),
     )
     c = part_pad // window
     # Per-pair window minima via a SINGLE-AXIS row gather (slot-major rows —
@@ -951,6 +1048,20 @@ def _search_qadc_grouped_impl(
         r, block_n, window, tiles=tiles if rerank else None,
         clamp127=saturate and not rerank, interpret=interpret,
     )
+
+
+def _group_nblk(part_sizes, group_part, block_n: int, nblocks: int):
+    """Per-group live block count for ragged-partition trimming.
+
+    ceil(real partition size / block_n), clamped to [1, nblocks] — the
+    reference scans exactly size_p codes per partition (databases.hpp:
+    270-298); this recovers that cost model under uniform padding (the
+    grouped kernels skip compute AND the HBM reads of trimmed blocks).
+    """
+    g_sz = part_sizes[group_part]
+    return jnp.clip(
+        (g_sz + block_n - 1) // block_n, 1, nblocks
+    ).astype(jnp.int32)
 
 
 def _group_table_slabs(routed, *pair_tables):
@@ -1082,6 +1193,7 @@ def search_qadc(
     rerank: bool = True, grouped: bool | None = None, group_size: int = 128,
     grouped_window: int | None = None, interpret: bool = False,
     saturate: bool = False, direct: bool | None = None,
+    scan_budget_bytes: int | None = None,
 ):
     """Quick-ADC IVF search (reference: db_query_4.cpp; requires sq_bits==4).
 
@@ -1099,6 +1211,10 @@ def search_qadc(
     b=1 engine, query_common.hpp:245-309). Default: on TPU when rerank is on,
     saturate is off, and the probed volume is small (<= DIRECT_MAX_CODES).
     Results rank by exact distance, so recall >= the screened pipeline's.
+    scan_budget_bytes: memory governor — grouped-path query batches whose
+    scan transients would exceed this are chunked (default SCAN_BUDGET_BYTES,
+    the analog of the reference's TABLES_BUFFER_SIZE batch sizing,
+    query_common.hpp:147,171-175).
 
     Returns (dists (Q, r) float32, labels (Q, r) int32).
     """
@@ -1129,10 +1245,24 @@ def search_qadc(
             and index.part_pad % 512 == 0
         )
     if grouped:
-        return _search_qadc_grouped_impl(
-            index, queries, r, ma, keep, prefix_pad, rerank,
-            group_size, grouped_window, interpret, saturate=saturate,
+        def run(qs):
+            return _search_qadc_grouped_impl(
+                index, qs, r, ma, keep, prefix_pad, rerank,
+                group_size, grouped_window, interpret, saturate=saturate,
+            )
+
+        lanes = (index.pq.sq_count // 2) * 16
+        chunk = _governed_query_chunk(
+            lambda qc: _grouped_scan_bytes(
+                qc, ma, index.part_count, index.part_pad, grouped_window,
+                group_size, lanes, val_bytes=4, slab_bytes=1, n_streams=1,
+            ),
+            queries.shape[0],
+            SCAN_BUDGET_BYTES if scan_budget_bytes is None else scan_budget_bytes,
         )
+        if chunk < queries.shape[0]:
+            return _run_query_chunks(run, jnp.asarray(queries), chunk)
+        return run(queries)
     return _search_qadc_impl(
         index, queries, r, ma, keep, prefix_pad, rerank, saturate=saturate
     )

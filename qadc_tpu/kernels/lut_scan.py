@@ -366,6 +366,103 @@ def lut_scan_reduce(
     return vals, slots_to_rows(slots, block_n, cb)
 
 
+def _scan_min_vpu_kernel(
+    codes_ref, tlo_ref, thi_ref, jpat_ref, e_ref, vals_ref, *, window, cb,
+):
+    """VPU-gather variant of the int8 scan (SURVEY §7: "Alternative: VPU
+    dynamic gather if supported; must benchmark both").
+
+    Mosaic exposes no per-lane dynamic vector gather, so the 16-entry LUT
+    lookup decomposes into data-parallel selects: the same int8 expansion +
+    one-hot build as the MXU kernel, but the accumulation contraction
+    acc[s, q] = sum_l oh[s, l] * t[l, q] runs as 2 * 16*cb select-accumulate
+    VPU passes over (BLK, Qp) instead of two MXU matmuls. Arithmetic
+    predicts this loses by ~2 orders (2*16*cb*2 VPU element-ops per
+    code-query pair vs 2*16*cb int8 MACs at ~100x the MXU rate); it exists
+    to produce the measured A/B row in docs/kernels.md (see
+    benchmarks/ab_kernel.py), not to win.
+    """
+    cpr = 128 // cb
+    raw = codes_ref[...]
+    r32 = raw.astype(jnp.int32)
+    lo_raw = (r32 & 0x0F).astype(jnp.int8)
+    hi_raw = (r32 >> 4).astype(jnp.int8)
+    e = e_ref[...].astype(jnp.int8)
+
+    def expand(x):
+        return jnp.concatenate(
+            [
+                jnp.dot(x, e[c * 128 : (c + 1) * 128, :],
+                        preferred_element_type=jnp.int32)
+                for c in range(cpr)
+            ],
+            axis=0,
+        )
+
+    rep_lo = expand(lo_raw)                     # (BLK, 16*cb) nibble values
+    rep_hi = expand(hi_raw)
+    jp = jpat_ref[0:1, :].astype(jnp.int32)
+    oh_lo = rep_lo == jp                        # (BLK, lanes) bool
+    oh_hi = rep_hi == jp
+    tlo = tlo_ref[...].astype(jnp.int32)        # (lanes, Qp)
+    thi = thi_ref[...].astype(jnp.int32)
+    blk = oh_lo.shape[0]
+    qp = tlo.shape[1]
+    lanes = tlo.shape[0]
+    acc = jnp.zeros((blk, qp), jnp.int32)
+    for l in range(lanes):                      # VPU contraction, no MXU
+        acc = acc + jnp.where(oh_lo[:, l : l + 1], tlo[l : l + 1, :], 0)
+        acc = acc + jnp.where(oh_hi[:, l : l + 1], thi[l : l + 1, :], 0)
+    vals_ref[...] = _window_min(acc, window)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cb", "block_n", "window", "interpret")
+)
+def lut_scan_vpu_reduce(
+    codes_rows,
+    tables_lo,
+    tables_hi,
+    cb: int = 8,
+    block_n: int = DEFAULT_BLOCK_N,
+    window: int = DEFAULT_WINDOW,
+    interpret: bool = False,
+):
+    """Flat int8 scan through the VPU select-accumulate contraction.
+
+    Same contract as lut_scan_reduce(with_rows=False, variant="int8") —
+    identical window minima; only the accumulation engine differs. Exists
+    for the measured MXU-vs-VPU A/B (docs/kernels.md).
+    """
+    cpr = 128 // cb
+    n_pad = codes_rows.shape[0] * cpr
+    lanes = cb * 16
+    assert tables_lo.shape[0] == lanes
+    qp = tables_lo.shape[1]
+    if n_pad % block_n != 0:
+        raise ValueError(f"N_pad {n_pad} not a multiple of block_n {block_n}")
+    if block_n % window != 0:
+        raise ValueError(f"block_n {block_n} not a multiple of window {window}")
+    g = block_n // window
+    r16 = block_n // cpr
+    e, jpat = _expand_consts(cb)
+    vals = pl.pallas_call(
+        functools.partial(_scan_min_vpu_kernel, window=window, cb=cb),
+        grid=(n_pad // block_n,),
+        in_specs=[
+            pl.BlockSpec((r16, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((lanes, qp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((lanes, qp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, lanes), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((cpr * 128, lanes), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((g, qp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_pad // window, qp), jnp.int32),
+        interpret=interpret,
+    )(codes_rows, tables_lo, tables_hi, jpat, e)
+    return vals
+
+
 def _grouped_scan_kernel(
     codes_ref, tlo_ref, thi_ref, jpat_ref, e_ref, vals_ref,
     *, window, acc_dtype, cb, transpose_out=False,
@@ -388,6 +485,9 @@ def _grouped_scan_kernel(
     vals_ref[...] = m.T if transpose_out else m
 
 
+_TRIM_SENTINEL_I32 = 1 << 30  # large; escapes only into size-masked windows
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -407,6 +507,7 @@ def lut_scan_grouped_prefetch(
     interpret: bool = False,
     transpose_out: bool = False,
     acc_dtype_name: str = "int32",
+    group_nblk=None,
 ):
     """Grouped IVF scan reading partitions IN PLACE via scalar prefetch.
 
@@ -423,6 +524,15 @@ def lut_scan_grouped_prefetch(
         saving callers the (gcap, C, G) -> (gcap, G, C) relayout.
       acc_dtype_name: accumulation dtype ("int32" for int8 tables, "float32"
         for float tables; the expansion matmuls stay int8 either way).
+      group_nblk: optional (GCAP,) int32 in [1, rows_per_group/block_n] —
+        blocks actually scanned per group (= ceil(real partition size /
+        block_n)). RAGGED-PARTITION TRIMMING: the reference scans exactly
+        size_p codes per partition (databases.hpp:270-298); padding every
+        partition to the global max makes a skewed corpus pay max-size HBM
+        reads on every probe. Trimmed grid steps re-point the codes
+        BlockSpec at the group's LAST live block (same index -> Pallas skips
+        the DMA) and skip compute via pl.when, writing a sentinel the
+        callers' size masks already exclude. The grid stays static.
 
     Returns:
       vals (GCAP*rows_per_group/W, G) window minima in the accumulation dtype
@@ -446,39 +556,60 @@ def lut_scan_grouped_prefetch(
     g = block_n // window
     r16 = block_n // cpr
     e, jpat = _expand_consts(cb)
+    if group_nblk is None:
+        group_nblk = jnp.full((gcap,), nblocks, jnp.int32)
+    sentinel = (
+        _TRIM_SENTINEL_I32 if acc_dtype == jnp.int32 else jnp.inf
+    )
 
     body = functools.partial(
         _grouped_scan_kernel, window=window, acc_dtype=acc_dtype, cb=cb,
         transpose_out=transpose_out,
     )
 
-    def kernel(gp_ref, *rest):  # scalar-prefetch ref arrives first; unused in body
-        body(*rest)
+    def kernel(gp_ref, gnb_ref, *rest):  # scalar-prefetch refs arrive first
+        i = pl.program_id(0)
+        live = (i % nblocks) < gnb_ref[i // nblocks]
+
+        @pl.when(live)
+        def _():
+            body(*rest)
+
+        @pl.when(jnp.logical_not(live))
+        def _():
+            vals_ref = rest[-1]
+            vals_ref[...] = jnp.full(vals_ref.shape, sentinel, acc_dtype)
+
+    def codes_map(i, gp, gnb):
+        # Trimmed steps re-read the group's last live block: the unchanged
+        # block index makes Pallas skip the HBM DMA entirely.
+        return (
+            gp[i // nblocks] * nblocks
+            + jnp.minimum(i % nblocks, gnb[i // nblocks] - 1),
+            0,
+        )
 
     if transpose_out:
         out_specs = pl.BlockSpec(
-            (gq, g), lambda i, gp: (i // nblocks, i % nblocks)
+            (gq, g), lambda i, gp, gnb: (i // nblocks, i % nblocks)
         )
         out_shape = jax.ShapeDtypeStruct(
             (gcap * gq, rows_per_group // window), acc_dtype
         )
     else:
-        out_specs = pl.BlockSpec((g, gq), lambda i, gp: (i, 0))
+        out_specs = pl.BlockSpec((g, gq), lambda i, gp, gnb: (i, 0))
         out_shape = jax.ShapeDtypeStruct(
             (gcap * rows_per_group // window, gq), acc_dtype
         )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(gcap * nblocks,),
         in_specs=[
-            pl.BlockSpec(
-                (r16, 128),
-                lambda i, gp: (gp[i // nblocks] * nblocks + i % nblocks, 0),
-            ),
-            pl.BlockSpec((lanes, gq), lambda i, gp: (i // nblocks, 0)),
-            pl.BlockSpec((lanes, gq), lambda i, gp: (i // nblocks, 0)),
-            pl.BlockSpec((8, lanes), lambda i, gp: (0, 0)),
-            pl.BlockSpec((cpr * 128, lanes), lambda i, gp: (0, 0)),
+            pl.BlockSpec((r16, 128), codes_map),
+            pl.BlockSpec((lanes, gq), lambda i, gp, gnb: (i // nblocks, 0)),
+            pl.BlockSpec((lanes, gq), lambda i, gp, gnb: (i // nblocks, 0)),
+            pl.BlockSpec((8, lanes), lambda i, gp, gnb: (0, 0)),
+            pl.BlockSpec((cpr * 128, lanes), lambda i, gp, gnb: (0, 0)),
         ],
         out_specs=out_specs,
     )
@@ -492,7 +623,7 @@ def lut_scan_grouped_prefetch(
             bytes_accessed=gcap * rows_per_group * cb + 2 * gcap * lanes * gq,
             transcendentals=0,
         ),
-    )(group_part, codes_rows, tables_lo, tables_hi, jpat, e)
+    )(group_part, group_nblk, codes_rows, tables_lo, tables_hi, jpat, e)
     return vals
 
 
@@ -643,7 +774,7 @@ def rows_adc_accumulate(rows, tlo_c, thi_c, cb: int = 8, interpret: bool = False
 )
 def rows_adc_grouped_prefetch(
     codes_rows, group_part, tlo_c, thi_c, rows_per_part: int, cb: int = 8,
-    interpret: bool = False,
+    interpret: bool = False, group_nblk=None,
 ):
     """Float ADC over whole partitions read IN PLACE (scalar prefetch).
 
@@ -659,6 +790,10 @@ def rows_adc_grouped_prefetch(
       group_part: (GCAP,) int32 partition scanned by each group.
       tlo_c/thi_c: (GCAP, 16*cb) f32 compact tables (tile_tables_rows order).
       rows_per_part: padded partition size in row128 ROWS (static).
+      group_nblk: optional (GCAP,) int32 live block count per group (blocks
+        of gcd(512, rows_per_part) ROWS) — ragged-partition trimming, see
+        lut_scan_grouped_prefetch. Trimmed steps write 0 rows; callers mask
+        by real partition size.
 
     Returns:
       (GCAP * rows_per_part, 128) f32 lane sums, group-major; reduce bytes
@@ -687,24 +822,42 @@ def rows_adc_grouped_prefetch(
         for h in range(h_count)
     ]
     body = functools.partial(_rows_adc_group_kernel, cb=cb)
+    if group_nblk is None:
+        group_nblk = jnp.full((gcap,), nblocks, jnp.int32)
 
-    def kernel(gp_ref, *rest):  # scalar-prefetch ref first; body ignores it
-        body(*rest)
+    def kernel(gp_ref, gnb_ref, *rest):  # scalar-prefetch refs arrive first
+        i = pl.program_id(0)
+        live = (i % nblocks) < gnb_ref[i // nblocks]
+
+        @pl.when(live)
+        def _():
+            body(*rest)
+
+        @pl.when(jnp.logical_not(live))
+        def _():
+            acc_ref = rest[-1]
+            acc_ref[...] = jnp.zeros(acc_ref.shape, jnp.float32)
+
+    def codes_map(i, gp, gnb):
+        # Trimmed steps re-read the last live block (no DMA; see
+        # lut_scan_grouped_prefetch).
+        return (
+            gp[i // nblocks] * nblocks
+            + jnp.minimum(i % nblocks, gnb[i // nblocks] - 1),
+            0,
+        )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(gcap * nblocks,),
         in_specs=[
-            pl.BlockSpec(
-                (blk, 128),
-                lambda i, gp: (gp[i // nblocks] * nblocks + i % nblocks, 0),
-            ),
+            pl.BlockSpec((blk, 128), codes_map),
         ]
         + [
-            pl.BlockSpec((8, 128), lambda i, gp: (i // nblocks, 0))
+            pl.BlockSpec((8, 128), lambda i, gp, gnb: (i // nblocks, 0))
             for _ in range(2 * h_count)
         ],
-        out_specs=pl.BlockSpec((blk, 128), lambda i, gp: (i, 0)),
+        out_specs=pl.BlockSpec((blk, 128), lambda i, gp, gnb: (i, 0)),
     )
     return pl.pallas_call(
         kernel,
@@ -716,7 +869,7 @@ def rows_adc_grouped_prefetch(
             bytes_accessed=gcap * rows_per_part * 128 * 5 + gcap * lanes_t * 8,
             transcendentals=0,
         ),
-    )(group_part, codes_rows, *halves)
+    )(group_part, group_nblk, codes_rows, *halves)
 
 
 def window_slots(window_ids, block_n: int, window: int):
@@ -873,14 +1026,16 @@ def lut_scan8_reduce(
 
 def _grouped_scan8_kernel(
     codes_ref, t_ref, jpat_ref, e_ref, vals_ref, idx_ref,
-    *, window, m, nblocks, transpose_out=False,
+    *, window, m, base, transpose_out=False,
 ):
     """Grouped 8-bit ADC scan block: the group's (m*256, G) bf16 table slab.
 
     Same accumulate as _scan8_kernel (one-hot over 256 centroids per byte);
-    emits window min + GROUP-LOCAL arg slots (block i % nblocks covers the
-    group's slots [b*block_n, (b+1)*block_n)). transpose_out writes (G, g)
-    slot-major blocks — see _grouped_scan_kernel.
+    emits window min + GROUP-LOCAL arg slots. base = the block's group-local
+    slot offset, computed by the WRAPPER (pl.program_id inside this body
+    would sit under the trimming pl.when, which the interpret path cannot
+    substitute). transpose_out writes (G, g) slot-major blocks — see
+    _grouped_scan_kernel.
     """
     codes_c = _deinterleave(codes_ref[...], m)           # (BLK, M) slot order
     blk = codes_c.shape[0]
@@ -899,7 +1054,6 @@ def _grouped_scan8_kernel(
         take = nxt < m_v
         m_v = jnp.where(take, nxt, m_v)
         arg = jnp.where(take, w, arg)
-    base = (pl.program_id(0) % nblocks) * blk
     g_iota = jax.lax.broadcasted_iota(jnp.int32, (g, acc.shape[1]), 0)
     slots = base + arg * g + g_iota                      # group-local SLOT ids
     if transpose_out:
@@ -926,6 +1080,7 @@ def lut_scan8_grouped_prefetch(
     window: int = DEFAULT_WINDOW,
     interpret: bool = False,
     transpose_out: bool = False,
+    group_nblk=None,
 ):
     """Grouped 8-bit conventional-ADC IVF scan, partitions read IN PLACE.
 
@@ -941,6 +1096,8 @@ def lut_scan8_grouped_prefetch(
       tables_g: (GCAP * m*256, G) bf16 group-major table slabs (per-pair
         build_scan8_tables columns scattered to group slots).
       rows_per_group: padded partition size in CODES (static).
+      group_nblk: optional (GCAP,) int32 live block count per group —
+        ragged-partition trimming, see lut_scan_grouped_prefetch.
 
     Returns:
       (vals, slots): (GCAP*rows_per_group/W, G) f32 window minima + int32
@@ -962,18 +1119,39 @@ def lut_scan8_grouped_prefetch(
     e_np, jpat_np = _expand8_consts_np(m)
     e = jnp.asarray(e_np, jnp.bfloat16)
     jpat = jnp.asarray(jpat_np)
+    if group_nblk is None:
+        group_nblk = jnp.full((gcap,), nblocks, jnp.int32)
 
-    body = functools.partial(
-        _grouped_scan8_kernel, window=window, m=m, nblocks=nblocks,
-        transpose_out=transpose_out,
-    )
+    def kernel(gp_ref, gnb_ref, *rest):  # scalar-prefetch refs arrive first
+        i = pl.program_id(0)
+        live = (i % nblocks) < gnb_ref[i // nblocks]
+        base = (i % nblocks) * block_n  # hoisted: see _grouped_scan8_kernel
 
-    def kernel(gp_ref, *rest):  # scalar-prefetch ref first; body ignores it
-        body(*rest)
+        @pl.when(live)
+        def _():
+            _grouped_scan8_kernel(
+                *rest, window=window, m=m, base=base,
+                transpose_out=transpose_out,
+            )
+
+        @pl.when(jnp.logical_not(live))
+        def _():
+            vals_ref, idx_ref = rest[-2], rest[-1]
+            vals_ref[...] = jnp.full(vals_ref.shape, jnp.inf, jnp.float32)
+            idx_ref[...] = jnp.zeros(idx_ref.shape, jnp.int32)
+
+    def codes_map(i, gp, gnb):
+        # Trimmed steps re-read the last live block (no DMA; see
+        # lut_scan_grouped_prefetch).
+        return (
+            gp[i // nblocks] * nblocks
+            + jnp.minimum(i % nblocks, gnb[i // nblocks] - 1),
+            0,
+        )
 
     if transpose_out:
         out_specs = [
-            pl.BlockSpec((gq, g), lambda i, gp: (i // nblocks, i % nblocks))
+            pl.BlockSpec((gq, g), lambda i, gp, gnb: (i // nblocks, i % nblocks))
             for _ in range(2)
         ]
         out_shape = [
@@ -982,23 +1160,20 @@ def lut_scan8_grouped_prefetch(
         ]
     else:
         out_specs = [
-            pl.BlockSpec((g, gq), lambda i, gp: (i, 0)) for _ in range(2)
+            pl.BlockSpec((g, gq), lambda i, gp, gnb: (i, 0)) for _ in range(2)
         ]
         out_shape = [
             jax.ShapeDtypeStruct((gcap * rows_per_group // window, gq), dt)
             for dt in (jnp.float32, jnp.int32)
         ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(gcap * nblocks,),
         in_specs=[
-            pl.BlockSpec(
-                (r16, 128),
-                lambda i, gp: (gp[i // nblocks] * nblocks + i % nblocks, 0),
-            ),
-            pl.BlockSpec((lanes, gq), lambda i, gp: (i // nblocks, 0)),
-            pl.BlockSpec((8, lanes), lambda i, gp: (0, 0)),
-            pl.BlockSpec((m, lanes), lambda i, gp: (0, 0)),
+            pl.BlockSpec((r16, 128), codes_map),
+            pl.BlockSpec((lanes, gq), lambda i, gp, gnb: (i // nblocks, 0)),
+            pl.BlockSpec((8, lanes), lambda i, gp, gnb: (0, 0)),
+            pl.BlockSpec((m, lanes), lambda i, gp, gnb: (0, 0)),
         ],
         out_specs=out_specs,
     )
@@ -1012,7 +1187,7 @@ def lut_scan8_grouped_prefetch(
             bytes_accessed=gcap * rows_per_group * m + 2 * gcap * lanes * gq,
             transcendentals=0,
         ),
-    )(group_part, codes_rows, tables_g, jpat, e)
+    )(group_part, group_nblk, codes_rows, tables_g, jpat, e)
 
 
 @functools.partial(

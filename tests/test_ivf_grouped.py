@@ -116,3 +116,105 @@ def test_grouped_various_ma(built):
         )
         assert np.asarray(l).shape == (32, 20)
         assert np.isfinite(np.asarray(d)[:, 0]).all()
+
+
+def test_grouped_skewed_partitions_trimming():
+    """Ragged-partition trimming correctness: a Zipf-skewed index (one giant
+    partition forces a large part_pad; most partitions are tiny, so most
+    groups' blocks are trimmed) must produce the same results as the
+    untrimmed jnp paths, across all trimmed kernels (qadc grouped, adc4,
+    adc8, direct)."""
+    rng = np.random.default_rng(17)
+    dim, n, p = 32, 20000, 16
+    # Coarse centroids on a line; vectors clustered so one partition holds
+    # ~60% of the corpus and several hold < 100 vectors.
+    coarse = np.zeros((p, dim), np.float32)
+    coarse[:, 0] = np.arange(p) * 12.0
+    probs = np.r_[0.6, 0.2, 0.1, np.full(p - 3, 0.1 / (p - 3))]
+    owner = rng.choice(p, size=n, p=probs)
+    base = (coarse[owner] + rng.normal(scale=1.0, size=(n, dim))).astype(np.float32)
+    queries = (coarse[rng.integers(0, p, 16)] + rng.normal(size=(16, dim))).astype(
+        np.float32
+    )
+    pq = train_pq(jax.random.PRNGKey(3), base[:5000] - coarse[owner[:5000]],
+                  16, 4, iters=8)
+    index = ivf.add(ivf.IVFIndex.create(pq, coarse), base)
+    sizes = np.asarray(index.part_sizes)
+    assert sizes.max() > 20 * np.median(sizes)  # genuinely skewed
+
+    # Quick-ADC grouped (trimmed) vs jnp (untrimmed oracle): quantized
+    # ranking is exact in both.
+    d1, _ = ivf.search_qadc(index, queries, r=20, ma=6, keep=0.05,
+                            grouped=False, rerank=False)
+    d2, _ = ivf.search_qadc(index, queries, r=20, ma=6, keep=0.05,
+                            grouped=True, interpret=True, rerank=False)
+    np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
+
+    # Conventional 4-bit grouped (trimmed, exact f32) vs jnp einsum path.
+    d3, _ = ivf.search_adc(index, queries, r=20, ma=6, grouped=False)
+    d4, _ = ivf.search_adc(index, queries, r=20, ma=6, grouped=True,
+                           interpret=True)
+    np.testing.assert_allclose(np.asarray(d3), np.asarray(d4), rtol=1e-5)
+
+    # Direct low-latency path (trimmed rows_adc) vs the same oracle.
+    d5, _ = ivf.search_qadc(index, queries, r=20, ma=6, direct=True,
+                            interpret=True)
+    np.testing.assert_allclose(np.asarray(d3), np.asarray(d5), rtol=1e-5)
+
+
+def test_scan8_grouped_skewed_trimming():
+    """8-bit grouped kernel under heavy trimming vs the jnp einsum path."""
+    rng = np.random.default_rng(18)
+    dim, n, p = 32, 12000, 8
+    coarse = np.zeros((p, dim), np.float32)
+    coarse[:, 0] = np.arange(p) * 12.0
+    probs = np.r_[0.7, np.full(p - 1, 0.3 / (p - 1))]
+    owner = rng.choice(p, size=n, p=probs)
+    base = (coarse[owner] + rng.normal(scale=1.0, size=(n, dim))).astype(np.float32)
+    queries = (coarse[rng.integers(0, p, 8)] + rng.normal(size=(8, dim))).astype(
+        np.float32
+    )
+    pq = train_pq(jax.random.PRNGKey(4), base[:4000] - coarse[owner[:4000]],
+                  8, 8, iters=6)
+    index = ivf.add(ivf.IVFIndex.create(pq, coarse), base)
+    d1, l1 = ivf.search_adc(index, queries, r=20, ma=4, grouped=False)
+    d2, l2 = ivf.search_adc(index, queries, r=20, ma=4, grouped=True,
+                            interpret=True)
+    d1, l1, d2, l2 = map(np.asarray, (d1, l1, d2, l2))
+    # The 8-bit grouped contract is window-collision-bounded overlap (see
+    # test_scan8_grouped), not exact sets; trimming must not change that.
+    np.testing.assert_array_equal(l1[:, 0], l2[:, 0])     # top-1 survives
+    np.testing.assert_allclose(d2[:, 0], d1[:, 0], rtol=1e-5, atol=1e-3)
+    overlap = np.mean(
+        [len(np.intersect1d(l1[i], l2[i])) / 20 for i in range(len(queries))]
+    )
+    # Tiny partitions have few windows, so collisions run high on this
+    # extreme skew; trimming itself is bit-exact on live windows (see
+    # test_grouped_kernel_trimming_parity in test_lut_kernel.py).
+    assert overlap >= 0.7, overlap
+
+
+def test_scan_budget_governor_chunks_queries(built):
+    """A tiny scan_budget_bytes must force query chunking with identical
+    results (memory governor — the reference's TABLES_BUFFER_SIZE analog,
+    query_common.hpp:147,171-175)."""
+    index, queries, gt = built
+    kw = dict(r=20, ma=6, keep=0.05, grouped=True, interpret=True,
+              rerank=False)
+    d1, l1 = ivf.search_qadc(index, queries, **kw)
+    d2, l2 = ivf.search_qadc(index, queries, scan_budget_bytes=1 << 20, **kw)
+    np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
+
+    d3, l3 = ivf.search_adc(index, queries, r=20, ma=6, grouped=True,
+                            interpret=True)
+    d4, l4 = ivf.search_adc(index, queries, r=20, ma=6, grouped=True,
+                            interpret=True, scan_budget_bytes=1 << 20)
+    np.testing.assert_allclose(np.asarray(d3), np.asarray(d4), rtol=1e-6)
+
+    # Governor math: chunk shrinks monotonically with the budget and is
+    # never below 1.
+    from qadc_tpu.index.ivf import _governed_query_chunk
+    bytes_fn = lambda qc: qc * 1000
+    assert _governed_query_chunk(bytes_fn, 32, 1_000_000) == 32
+    assert _governed_query_chunk(bytes_fn, 32, 8_000) == 8
+    assert _governed_query_chunk(bytes_fn, 32, 10) == 1

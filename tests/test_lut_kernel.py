@@ -302,3 +302,111 @@ def test_rows_adc_grouped_prefetch_narrow_cb(rng):
     pair = jnp.repeat(jnp.arange(gcap, dtype=jnp.int32), rpp)
     out_r = rows_adc_accumulate(rows, tlo[pair], thi[pair], cb=cb, interpret=True)
     np.testing.assert_allclose(np.asarray(out_g), np.asarray(out_r), atol=1e-4)
+
+
+def test_grouped_kernel_trimming_parity(rng):
+    """group_nblk trimming: live windows bit-match the untrimmed kernel;
+    trimmed windows hold the sentinel — for the int8/f32 grouped scan and
+    the 8-bit grouped scan, both output layouts."""
+    import jax.numpy as jnp
+
+    from qadc_tpu.kernels.lut_scan import (
+        build_scan8_tables,
+        build_scan_tables,
+        lut_scan8_grouped_prefetch,
+        lut_scan_grouped_prefetch,
+    )
+
+    m, parts, gcap, gq = 8, 8, 4, 128
+    cpr = 128 // m
+    rows_per_group, block_n, window = 2048, 256, 16
+    nblocks = rows_per_group // block_n
+    codes = jnp.asarray(
+        rng.integers(0, 256, size=(parts * rows_per_group // cpr, 128),
+                     dtype=np.uint8)
+    )
+    gp = jnp.asarray(rng.permutation(parts)[:gcap].astype(np.int32))
+    gnb = jnp.asarray([1, 3, nblocks, 2], jnp.int32)
+    c = rows_per_group // window
+    gpw = block_n // window
+
+    t8 = build_scan8_tables(
+        jnp.asarray(rng.normal(size=(gq, m, 256)).astype(np.float32))
+    )
+    tg = jnp.concatenate([t8] * gcap, axis=0)
+    kw = dict(rows_per_group=rows_per_group, m=m, block_n=block_n,
+              window=window, interpret=True)
+    v_full, s_full = lut_scan8_grouped_prefetch(codes, gp, tg, **kw)
+    for transpose_out in (False, True):
+        v_t, s_t = lut_scan8_grouped_prefetch(
+            codes, gp, tg, group_nblk=gnb, transpose_out=transpose_out, **kw
+        )
+        if transpose_out:
+            v_t = np.asarray(v_t).reshape(gcap, gq, c).transpose(0, 2, 1)
+            s_t = np.asarray(s_t).reshape(gcap, gq, c).transpose(0, 2, 1)
+        else:
+            v_t = np.asarray(v_t).reshape(gcap, c, gq)
+            s_t = np.asarray(s_t).reshape(gcap, c, gq)
+        vf = np.asarray(v_full).reshape(gcap, c, gq)
+        sf = np.asarray(s_full).reshape(gcap, c, gq)
+        for gi in range(gcap):
+            live = int(gnb[gi]) * gpw
+            np.testing.assert_array_equal(v_t[gi][:live], vf[gi][:live])
+            np.testing.assert_array_equal(s_t[gi][:live], sf[gi][:live])
+            assert np.isinf(v_t[gi][live:]).all()
+
+    cb = m  # 16x4: cb = 8 bytes
+    qt = jnp.asarray(
+        rng.integers(-20, 100, size=(gq, 16, 16)).astype(np.int8)
+    )
+    tlo, thi = build_scan_tables(qt)
+    glo = jnp.concatenate([tlo] * gcap, axis=0)
+    ghi = jnp.concatenate([thi] * gcap, axis=0)
+    kw4 = dict(rows_per_group=rows_per_group, cb=cb, block_n=block_n,
+               window=window, interpret=True)
+    v_full4 = np.asarray(
+        lut_scan_grouped_prefetch(codes, gp, glo, ghi, **kw4)
+    ).reshape(gcap, c, gq)
+    for transpose_out in (False, True):
+        v4 = lut_scan_grouped_prefetch(
+            codes, gp, glo, ghi, group_nblk=gnb, transpose_out=transpose_out,
+            **kw4,
+        )
+        v4 = (
+            np.asarray(v4).reshape(gcap, gq, c).transpose(0, 2, 1)
+            if transpose_out else np.asarray(v4).reshape(gcap, c, gq)
+        )
+        for gi in range(gcap):
+            live = int(gnb[gi]) * gpw
+            np.testing.assert_array_equal(v4[gi][:live], v_full4[gi][:live])
+            assert (v4[gi][live:] == (1 << 30)).all()
+
+
+def test_vpu_variant_matches_mxu(rng):
+    """lut_scan_vpu_reduce (VPU select-accumulate contraction) must produce
+    the exact window minima of the MXU one-hot kernel — it exists for the
+    SURVEY §7 'benchmark both' A/B (benchmarks/ab_kernel.py)."""
+    import jax.numpy as jnp
+
+    from qadc_tpu.kernels.lut_scan import (
+        build_scan_tables,
+        lut_scan_reduce,
+        lut_scan_vpu_reduce,
+    )
+
+    for m in (16, 32):
+        cb = m // 2
+        cpr = 128 // cb
+        n, q = 4096, 16
+        codes = jnp.asarray(
+            rng.integers(0, 256, size=(n // cpr, 128), dtype=np.uint8)
+        )
+        qt = jnp.asarray(rng.integers(-30, 120, size=(q, m, 16)).astype(np.int8))
+        tlo, thi = build_scan_tables(qt)
+        v_mxu, _ = lut_scan_reduce(
+            codes, tlo, thi, cb=cb, block_n=1024, interpret=True
+        )
+        v_vpu = lut_scan_vpu_reduce(
+            codes, tlo, thi, cb=cb, block_n=1024, interpret=True
+        )
+        np.testing.assert_array_equal(np.asarray(v_mxu), np.asarray(v_vpu))

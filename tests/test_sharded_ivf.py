@@ -101,3 +101,20 @@ def test_sharded_ma_exceeds_part_count(rng):
         sharded, qs, r=10, ma=100, keep=0.05, mesh=mesh, interpret=True
     )
     np.testing.assert_array_equal(np.asarray(l_big), np.asarray(l_all))
+
+
+def test_sharded_overlap_chunks_identical(built):
+    """Scan<->merge overlap (overlap_chunks > 1) must not change results —
+    it only re-orders independent work so the all_gather rides under the
+    next chunk's scan (SURVEY §5.8)."""
+    index, queries, gt = built
+    mesh = make_mesh()
+    sharded = shard_ivf_partitions(index, mesh)
+    kw = dict(r=50, ma=6, keep=0.05, mesh=mesh, interpret=True)
+    d1, l1 = search_qadc_ivf_sharded(sharded, queries, **kw)
+    d2, l2 = search_qadc_ivf_sharded(sharded, queries, overlap_chunks=2, **kw)
+    np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+    np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
+    # Non-dividing chunk counts fall back to 1 (still correct).
+    d3, l3 = search_qadc_ivf_sharded(sharded, queries, overlap_chunks=5, **kw)
+    np.testing.assert_array_equal(np.asarray(l1), np.asarray(l3))
