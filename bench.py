@@ -26,7 +26,7 @@ import json
 
 import numpy as np
 
-from qadc_tpu.eval.timing import fori_slope_seconds
+from qadc_tpu.eval.timing import fori_slope_percentiles, fori_slope_seconds
 
 REFERENCE_SCAN_CQ_PER_S = 93_750 / 86e-6  # ~1.09e9, README.md:329-330
 HBM_GBPS = 819.0          # v5e
@@ -101,6 +101,24 @@ def _bench_ivf_e2e(rng, index, batch, k_lo=20, k_hi=100):
 
     dt = fori_slope_seconds(body, (index, queries), k_lo=k_lo, k_hi=k_hi)
     return dt * 1e6 / batch
+
+
+def _bench_ivf_percentiles(rng, index, batch, k_lo, k_hi, trials: int = 20):
+    """p50/p90/p99 us/query via per-trial slope pairs (eval.timing)."""
+    import jax.numpy as jnp
+    from qadc_tpu.index import ivf
+
+    queries = jnp.asarray(rng.normal(size=(batch, 128)).astype(np.float32))
+
+    def body(args, tap):
+        idx, qs = args
+        d, _ = ivf.search_qadc(idx, qs + tap * 1e-12, r=100, ma=24, keep=0.005)
+        return d.sum()
+
+    pct = fori_slope_percentiles(
+        body, (index, queries), k_lo=k_lo, k_hi=k_hi, trials=trials
+    )
+    return {k: v * 1e6 / batch for k, v in pct.items()}
 
 
 def _make_ivf8(rng):
@@ -257,6 +275,9 @@ def main():
     ivf_us_128 = _bench_ivf_e2e(rng, ivf_index, 128)
     ivf_us_32 = _bench_ivf_e2e(rng, ivf_index, 32)
     ivf_us_1 = _bench_ivf_e2e(rng, ivf_index, 1, k_lo=100, k_hi=500)
+    # Percentiles (BASELINE asks p50): per-trial slope pairs at b=1 and b=32.
+    ivf_pct_1 = _bench_ivf_percentiles(rng, ivf_index, 1, k_lo=100, k_hi=300)
+    ivf_pct_32 = _bench_ivf_percentiles(rng, ivf_index, 32, k_lo=20, k_hi=60)
     adc4_us_32 = _bench_ivf_adc(rng, ivf_index, 32)
     adc8_us_32 = _bench_ivf_adc(rng, _make_ivf8(rng), 32)
 
@@ -278,6 +299,10 @@ def main():
                     "ivf256_ma24_r100_us_per_query_e2e": ivf_us_128,
                     "ivf256_ma24_r100_us_per_query_b32": ivf_us_32,
                     "ivf256_ma24_r100_us_per_query_b1": ivf_us_1,
+                    "ivf_b1_p50_us": ivf_pct_1["p50"],
+                    "ivf_b1_p99_us": ivf_pct_1["p99"],
+                    "ivf_b32_p50_us": ivf_pct_32["p50"],
+                    "ivf_b32_p99_us": ivf_pct_32["p99"],
                     "ivf_vs_reference_total_120us": 120.0 / ivf_us_128,
                     "ivf_b32_vs_reference_total_120us": 120.0 / ivf_us_32,
                     "ivf256_ma24_adc4_us_per_query_b32": adc4_us_32,

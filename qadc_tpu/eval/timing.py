@@ -83,6 +83,54 @@ def fori_slope_seconds(
     return slope
 
 
+def fori_slope_percentiles(
+    body: Callable, args, k_lo: int = 100, k_hi: int = 500, trials: int = 20
+):
+    """Latency percentiles from repeated slope trials (BASELINE asks p50).
+
+    Each trial times one k_lo chain and one k_hi chain back-to-back and
+    takes that PAIR's slope — per-trial device seconds/iteration with the
+    relay's fixed dispatch cost cancelled within the trial. The trial
+    distribution then yields percentiles. Caveats stated in the result:
+    percentiles are over CHAIN-AVERAGED iterations (a chain smooths
+    per-iteration spikes shorter than k_lo), and p99 from `trials` samples
+    is the upper tail estimate, not a calibrated 1%-quantile.
+
+    Returns dict(p50, p90, p99, mean) in seconds/iteration.
+    """
+    import jax
+    import jax.numpy as jnp
+    import time as _time
+
+    import numpy as _np
+
+    @jax.jit
+    def chained(a, k):
+        return jax.lax.fori_loop(
+            0, k, lambda i, tap: body(a, tap), jnp.float32(0)
+        )
+
+    def once(k):
+        t0 = _time.time()
+        _ = float(chained(args, k))
+        return _time.time() - t0
+
+    _ = float(chained(args, k_lo))  # compile + warm
+    _ = float(chained(args, k_hi))
+    slopes = []
+    for _ in range(trials):
+        t_lo = once(k_lo)
+        t_hi = once(k_hi)
+        slopes.append(max((t_hi - t_lo) / (k_hi - k_lo), 0.0))
+    s = _np.asarray(slopes)
+    return {
+        "p50": float(_np.percentile(s, 50)),
+        "p90": float(_np.percentile(s, 90)),
+        "p99": float(_np.percentile(s, 99)),
+        "mean": float(s.mean()),
+    }
+
+
 def make_time_call(build_chained: Callable[[int], Callable], run, iters: int = 3):
     """Standard time_call builder.
 
