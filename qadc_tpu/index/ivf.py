@@ -881,23 +881,21 @@ def _search_qadc_direct_impl(
     if jax.default_backend() == "tpu" or interpret:
         # Scan partitions in place (scalar-prefetch) — no row/table gathers.
         # Blocks past each partition's real size are trimmed (ragged skew
-        # control; block unit here is ROWS of gcd(512, rpp)).
+        # control; block unit here is ROWS of gcd(512, rpp)). compact_out
+        # fuses the per-code selector reduction into the kernel epilogue:
+        # the (QA*rpp, 128) lane-sum round trip through HBM and its separate
+        # XLA matmul stage disappear (output shrinks 128/cpr-fold).
         from qadc_tpu.kernels.lut_scan import rows_adc_grouped_prefetch
 
         blk_rows = math.gcd(512, rpp)
         sz_rows = -(-index.part_sizes[pflat] // cpr)      # rows with real codes
-        acc = rows_adc_grouped_prefetch(
+        d = rows_adc_grouped_prefetch(
             index.codes.reshape(-1, 128), pflat, tlo, thi, rpp, cb=cb,
-            interpret=interpret,
+            interpret=interpret, compact_out=True,
             group_nblk=jnp.clip(
                 (sz_rows + blk_rows - 1) // blk_rows, 1, rpp // blk_rows
             ).astype(jnp.int32),
-        )
-        s_mat = jnp.asarray(
-            (np.arange(128)[:, None] // cb) == np.arange(cpr)[None, :],
-            jnp.float32,
-        )
-        d = jnp.dot(acc, s_mat, precision=jax.lax.Precision.HIGHEST)
+        )                                                  # (QA*cpr, rpp)
     else:
         grow = (
             pflat[:, None] * rpp + jnp.arange(rpp, dtype=jnp.int32)[None, :]
@@ -905,10 +903,17 @@ def _search_qadc_direct_impl(
         rows = index.codes.reshape(-1, 128)[grow]         # (QA*rpp, 128)
         pair = jnp.repeat(jnp.arange(qa, dtype=jnp.int32), rpp)
         d = rows_adc(rows, tlo[pair], thi[pair], cb, interpret=interpret)
-    d = d.reshape(q, ma * index.part_pad)                 # code order
+        # Match the kernel's compact transposed layout: (QA, cpr, rpp).
+        d = d.reshape(qa, rpp, cpr).transpose(0, 2, 1)
+    # Compact layout: flat column f of a pair = c*rpp + rr holds the code at
+    # local id rr*cpr + c.
+    d = d.reshape(q, ma * index.part_pad)
     sz = index.part_sizes[parts]                          # (Q, ma)
     col = jnp.arange(index.part_pad, dtype=jnp.int32)
-    valid = (col[None, None, :] < sz[:, :, None]).reshape(q, ma * index.part_pad)
+    code_of_col = (col % rpp) * cpr + col // rpp          # column -> local id
+    valid = (
+        code_of_col[None, None, :] < sz[:, :, None]
+    ).reshape(q, ma * index.part_pad)
     # Finite sentinel (not +inf): the sentinel flows through the screen when
     # fewer than wq valid candidates exist, and 0 * inf would NaN any matmul
     # it later touched; restored to +inf after the final top-k.
@@ -929,7 +934,9 @@ def _search_qadc_direct_impl(
     # partition ids, then one (Q, wq) element gather from the label table.
     a_id = si // index.part_pad
     part_sel = _select_cols(parts, a_id, ma)              # (Q, wq) int32
-    sl = index.labels.reshape(-1)[part_sel * index.part_pad + si % index.part_pad]
+    within = si % index.part_pad                          # compact column
+    code_local = (within % rpp) * cpr + within // rpp     # -> local code id
+    sl = index.labels.reshape(-1)[part_sel * index.part_pad + code_local]
     if r > wq:  # tiny probed volume: pad to the (Q, r) contract
         sv = jnp.pad(sv, [(0, 0), (0, r - wq)], constant_values=big)
         sl = jnp.pad(sl, [(0, 0), (0, r - wq)])

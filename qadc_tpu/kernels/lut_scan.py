@@ -733,6 +733,36 @@ def _rows_adc_group_kernel(rows_ref, *t_refs_and_out, cb):
     )
 
 
+def _rows_adc_group_compact_kernel(rows_ref, *refs, cb, cpr):
+    """Per-group table + FUSED per-code reduction, transposed compact output.
+
+    refs: h_count lo-half refs, h_count hi-half refs, smat_ref ((128, 128)
+    0/1 selector, only the first cpr columns live), out_ref ((cpr, BLK)).
+    The selector matmul that reduced (BLK, 128) lane sums to (BLK, cpr)
+    per-code distances used to run as a separate XLA stage reading the whole
+    lane-sum array back from HBM; fusing it here shrinks the kernel's HBM
+    output 128/cpr-fold and drops that stage from the b=1 critical path.
+    HIGHEST precision: the sums must stay f32-exact for the exact-ranking
+    contract of the direct path (index.ivf._search_qadc_direct_impl).
+    """
+    out_ref = refs[-1]
+    smat_ref = refs[-2]
+    t_refs = refs[:-2]
+    h_count = len(t_refs) // 2
+    acc = _rows_adc_body_halves(
+        rows_ref[...],
+        [r[0:1, :] for r in t_refs[:h_count]],
+        [r[0:1, :] for r in t_refs[h_count:]],
+        cb=cb,
+    )
+    d = jax.lax.dot_general(
+        acc, smat_ref[...], (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )                                              # (BLK, 128), cpr live lanes
+    out_ref[...] = d.T[0:cpr, :]
+
+
 @functools.partial(jax.jit, static_argnames=("cb", "interpret"))
 def rows_adc_accumulate(rows, tlo_c, thi_c, cb: int = 8, interpret: bool = False):
     """(A, 128) u8 rows + (A, 16*cb) f32 compact tables -> (A, 128) f32 lane
@@ -770,11 +800,11 @@ def rows_adc_accumulate(rows, tlo_c, thi_c, cb: int = 8, interpret: bool = False
 
 
 @functools.partial(
-    jax.jit, static_argnames=("rows_per_part", "cb", "interpret")
+    jax.jit, static_argnames=("rows_per_part", "cb", "interpret", "compact_out")
 )
 def rows_adc_grouped_prefetch(
     codes_rows, group_part, tlo_c, thi_c, rows_per_part: int, cb: int = 8,
-    interpret: bool = False, group_nblk=None,
+    interpret: bool = False, group_nblk=None, compact_out: bool = False,
 ):
     """Float ADC over whole partitions read IN PLACE (scalar prefetch).
 
@@ -794,10 +824,15 @@ def rows_adc_grouped_prefetch(
         of gcd(512, rows_per_part) ROWS) — ragged-partition trimming, see
         lut_scan_grouped_prefetch. Trimmed steps write 0 rows; callers mask
         by real partition size.
+      compact_out: fuse the per-code selector reduction into the kernel and
+        emit (GCAP * cpr, rows_per_part) f32 — row gi*cpr + c, column rr is
+        the distance of code rr*cpr + c of group gi's partition. 128/cpr x
+        less output HBM and one fewer XLA stage on the b=1 direct path.
 
     Returns:
       (GCAP * rows_per_part, 128) f32 lane sums, group-major; reduce bytes
-      per code with the selector matmul as for rows_adc_accumulate.
+      per code with the selector matmul as for rows_adc_accumulate. With
+      compact_out, the transposed per-code layout above instead.
     """
     gcap = group_part.shape[0]
     lanes_t = 16 * cb
@@ -821,7 +856,11 @@ def rows_adc_grouped_prefetch(
         for t in (tlo_c, thi_c)
         for h in range(h_count)
     ]
-    body = functools.partial(_rows_adc_group_kernel, cb=cb)
+    cpr = 128 // cb
+    if compact_out:
+        body = functools.partial(_rows_adc_group_compact_kernel, cb=cb, cpr=cpr)
+    else:
+        body = functools.partial(_rows_adc_group_kernel, cb=cb)
     if group_nblk is None:
         group_nblk = jnp.full((gcap,), nblocks, jnp.int32)
 
@@ -847,29 +886,47 @@ def rows_adc_grouped_prefetch(
             0,
         )
 
+    in_specs = [
+        pl.BlockSpec((blk, 128), codes_map),
+    ] + [
+        pl.BlockSpec((8, 128), lambda i, gp, gnb: (i // nblocks, 0))
+        for _ in range(2 * h_count)
+    ]
+    operands = [group_part, group_nblk, codes_rows, *halves]
+    if compact_out:
+        # 0/1 selector, 128 lanes (only the first cpr columns live): the
+        # fused reduction matmul needs full-lane operands.
+        smat = jnp.zeros((128, 128), jnp.float32).at[
+            jnp.arange(128), jnp.arange(128) // cb
+        ].set(1.0)
+        in_specs.append(pl.BlockSpec((128, 128), lambda i, gp, gnb: (0, 0)))
+        operands.append(smat)
+        out_specs = pl.BlockSpec(
+            (cpr, blk), lambda i, gp, gnb: (i // nblocks, i % nblocks)
+        )
+        # rows_per_part is in ROWS of 128 bytes; each block covers blk rows ->
+        # blk output columns (one per storage row): total columns = rows_per_part.
+        out_shape = jax.ShapeDtypeStruct((gcap * cpr, rows_per_part), jnp.float32)
+    else:
+        out_specs = pl.BlockSpec((blk, 128), lambda i, gp, gnb: (i, 0))
+        out_shape = jax.ShapeDtypeStruct((gcap * rows_per_part, 128), jnp.float32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(gcap * nblocks,),
-        in_specs=[
-            pl.BlockSpec((blk, 128), codes_map),
-        ]
-        + [
-            pl.BlockSpec((8, 128), lambda i, gp, gnb: (i // nblocks, 0))
-            for _ in range(2 * h_count)
-        ],
-        out_specs=pl.BlockSpec((blk, 128), lambda i, gp, gnb: (i, 0)),
+        in_specs=in_specs,
+        out_specs=out_specs,
     )
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((gcap * rows_per_part, 128), jnp.float32),
+        out_shape=out_shape,
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=4 * 16 * gcap * rows_per_part * 128,
             bytes_accessed=gcap * rows_per_part * 128 * 5 + gcap * lanes_t * 8,
             transcendentals=0,
         ),
-    )(group_part, group_nblk, codes_rows, *halves)
+    )(*operands)
 
 
 def window_slots(window_ids, block_n: int, window: int):

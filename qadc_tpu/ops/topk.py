@@ -54,6 +54,15 @@ def screen_smallest(vals, k: int, recall_target: float = 0.95):
     return -neg, idx
 
 
+# Rows at or below this width go through a full stable sort instead of the
+# TopK custom call. The custom call's cost is K-dominated (measured, v5e:
+# (1, 98304) k=100 takes 68 us; k=200 over 8x fewer elements takes 88 us), so
+# for a 200-wide row a sorting network over the whole row beats paying the
+# k=100 fixed cost — this is the tail of the b=1 direct path. Ties break by
+# position (stable sort), matching lax.top_k's lower-index-first order.
+SORT_TOPK_MAX_C = 1024
+
+
 def topk_smallest(dists, labels, k: int):
     """Top-k smallest along the LAST axis, carrying labels. Exact.
 
@@ -63,7 +72,8 @@ def topk_smallest(dists, labels, k: int):
     S parallel chunks of top-k makes it WORSE (each chunk pays the full
     K-cost; full-sort lowering for the merge). Keep exact top-k rows intact,
     and keep K small; screen with screen_smallest when approximation is
-    acceptable.
+    acceptable. Tiny rows (C <= SORT_TOPK_MAX_C) dodge the custom call
+    entirely via a stable variadic sort.
 
     Args:
       dists: (..., C) distances.
@@ -73,8 +83,14 @@ def topk_smallest(dists, labels, k: int):
     Returns:
       (vals (..., k) ascending, labels (..., k) int32).
     """
-    neg = -jnp.asarray(dists, jnp.float32)
-    top, idx = jax.lax.top_k(neg, k)
+    d = jnp.asarray(dists, jnp.float32)
+    c = d.shape[-1]
+    if c <= max(SORT_TOPK_MAX_C, k):
+        sv, sl = jax.lax.sort(
+            (d, jnp.asarray(labels)), dimension=-1, num_keys=1, is_stable=True
+        )
+        return sv[..., :k], sl[..., :k]
+    top, idx = jax.lax.top_k(-d, k)
     return -top, jnp.take_along_axis(labels, idx, axis=-1)
 
 

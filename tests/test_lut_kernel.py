@@ -410,3 +410,41 @@ def test_vpu_variant_matches_mxu(rng):
             codes, tlo, thi, cb=cb, block_n=1024, interpret=True
         )
         np.testing.assert_array_equal(np.asarray(v_mxu), np.asarray(v_vpu))
+
+
+def test_rows_adc_compact_out_parity(rng):
+    """compact_out fuses the selector reduction into the kernel; its
+    (GCAP*cpr, rpp) output must equal the unfused lane sums reduced by the
+    caller-side selector matmul, including under trimming."""
+    import jax
+    import jax.numpy as jnp
+
+    from qadc_tpu.kernels.lut_scan import rows_adc_grouped_prefetch
+
+    for cb in (8, 16):
+        cpr = 128 // cb
+        parts, gcap, rpp = 6, 4, 2048  # nblocks=4: real trimming
+        codes = jnp.asarray(
+            rng.integers(0, 256, size=(parts * rpp, 128), dtype=np.uint8)
+        )
+        gp = jnp.asarray(rng.permutation(parts)[:gcap].astype(np.int32))
+        tlo = jnp.asarray(rng.normal(size=(gcap, 16 * cb)).astype(np.float32))
+        thi = jnp.asarray(rng.normal(size=(gcap, 16 * cb)).astype(np.float32))
+        gnb = jnp.asarray([1, gcap, 2, gcap], jnp.int32)  # trimming mix
+
+        acc = rows_adc_grouped_prefetch(
+            codes, gp, tlo, thi, rpp, cb=cb, interpret=True, group_nblk=gnb
+        )                                                 # (GCAP*rpp, 128)
+        s_mat = jnp.asarray(
+            (np.arange(128)[:, None] // cb) == np.arange(cpr)[None, :],
+            jnp.float32,
+        )
+        want = jnp.dot(acc, s_mat, precision=jax.lax.Precision.HIGHEST)
+        want = np.asarray(want).reshape(gcap, rpp, cpr).transpose(0, 2, 1)
+
+        got = rows_adc_grouped_prefetch(
+            codes, gp, tlo, thi, rpp, cb=cb, interpret=True, group_nblk=gnb,
+            compact_out=True,
+        )                                                 # (GCAP*cpr, rpp)
+        got = np.asarray(got).reshape(gcap, cpr, rpp)
+        np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-5)

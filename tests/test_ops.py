@@ -118,3 +118,24 @@ def test_topk_merge(rng):
     np.testing.assert_allclose(np.asarray(v), want, rtol=1e-6)
     want_l = np.argsort(d, axis=1)[:, :4]
     np.testing.assert_array_equal(np.sort(np.asarray(l), 1), np.sort(want_l, 1))
+
+
+def test_topk_smallest_sort_path_matches_topk():
+    """Tiny rows go through a stable sort instead of the TopK custom call;
+    results (including tie order: lower index first) must be identical."""
+    import jax
+    import jax.numpy as jnp
+
+    from qadc_tpu.ops.topk import topk_smallest
+
+    rng = np.random.default_rng(9)
+    for c in (7, 200, 1024):
+        d = jnp.asarray(rng.integers(0, 50, size=(5, c)).astype(np.float32))
+        lab = jnp.asarray(rng.integers(0, 10_000, size=(5, c)).astype(np.int32))
+        k = min(100, c)
+        sv, sl = topk_smallest(d, lab, k)  # sort path (c <= 1024)
+        top, idx = jax.lax.top_k(-d, k)    # custom-call semantics
+        np.testing.assert_array_equal(np.asarray(sv), np.asarray(-top))
+        np.testing.assert_array_equal(
+            np.asarray(sl), np.asarray(jnp.take_along_axis(lab, idx, axis=-1))
+        )
