@@ -22,4 +22,6 @@ run run_bench 3600 python benchmarks/run_bench.py --json
 run profile_b1   1200 python benchmarks/profile_b1.py 1
 run profile_b128 1200 python benchmarks/profile_b1.py 128
 run deep100m  3600 python benchmarks/deep100m_v2.py
+run ab_kernel 2400 python benchmarks/ab_kernel.py
+run recall_curves 5400 python benchmarks/recall_curves.py
 echo "All logs in $OUT/ (stamp $stamp)"
