@@ -27,11 +27,9 @@ def recall_at_r(result_labels, groundtruth, t: int = 1) -> float:
     groundtruth = np.asarray(groundtruth)
     if groundtruth.ndim == 1:
         groundtruth = groundtruth[:, None]
-    q = result_labels.shape[0]
-    hits = 0
-    for qi in range(q):
-        want = groundtruth[qi, :t]
-        got = result_labels[qi]
-        if all(w in got for w in want):
-            hits += 1
-    return hits / q
+    # Vectorized membership: want (Q, t) broadcast against results (Q, 1, R).
+    # O(Q*t*R) numpy ops instead of an interpreted double loop — this runs
+    # inside benchmark config sweeps.
+    want = groundtruth[:, :t]                               # (Q, t)
+    found = (want[:, :, None] == result_labels[:, None, :]).any(axis=2)
+    return float(found.all(axis=1).mean())
