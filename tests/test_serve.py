@@ -151,3 +151,51 @@ def test_serve_closes_after_consecutive_failures(built):
             srv.submit(base[0])
     finally:
         srv.close()
+
+
+def test_serve_restart_from_sharded_checkpoint(built, tmp_path):
+    """SURVEY §5.3 restartable serving: kill a server, restart a new one
+    from the on-disk sharded checkpoint (per-shard loading), and get
+    identical results — the elasticity story the reference lacks."""
+    from functools import partial
+
+    from qadc_tpu.dist.mesh import make_mesh
+    from qadc_tpu.dist.sharded_ivf import (
+        load_sharded_index,
+        search_qadc_ivf_sharded,
+        shard_ivf_partitions,
+    )
+    from qadc_tpu.index import ivf
+    from qadc_tpu.io.checkpoint import save_index_sharded
+    from qadc_tpu.ops.knn import assign_nearest
+    from qadc_tpu.quantizers.pq import train_pq
+
+    rng = np.random.default_rng(6)
+    dim, n = 32, 4000
+    base = rng.normal(size=(n, dim)).astype(np.float32)
+    coarse = ivf.train_coarse(jax.random.PRNGKey(1), base, part_count=8, iters=5)
+    a = np.asarray(assign_nearest(base, coarse))
+    pq = train_pq(jax.random.PRNGKey(2), base - np.asarray(coarse)[a], 16, 4,
+                  iters=5)
+    index = ivf.add(ivf.IVFIndex.create(pq, coarse), base)
+
+    mesh = make_mesh(4)
+    fn = partial(search_qadc_ivf_sharded, r=10, ma=4, keep=0.05, mesh=mesh,
+                 interpret=True)
+    queries = base[:5] + 0.01
+
+    sharded = shard_ivf_partitions(index, mesh)
+    with SearchServer(sharded, batch_size=4, max_wait_ms=10,
+                      search_fn=lambda idx, b: fn(idx, b)) as srv:
+        before = [srv.submit(q).result(timeout=120) for q in queries]
+        # Persist while serving; then the server dies (context exit).
+        save_index_sharded(str(tmp_path / "ck"), index, num_shards=1)
+
+    # Restart: a NEW server over the checkpoint, loaded shard-by-shard.
+    restored = load_sharded_index(str(tmp_path / "ck"), mesh)
+    with SearchServer(restored, batch_size=4, max_wait_ms=10,
+                      search_fn=lambda idx, b: fn(idx, b)) as srv2:
+        after = [srv2.submit(q).result(timeout=120) for q in queries]
+    for (d0, l0), (d1, l1) in zip(before, after):
+        np.testing.assert_array_equal(l0, l1)
+        np.testing.assert_allclose(d0, d1, rtol=1e-6)
