@@ -50,25 +50,29 @@ def main():
         return parts, tlo, thi
 
     def kernel(idx, parts, tlo, thi):
-        pflat = parts.reshape(-1)
-        return rows_adc_grouped_prefetch(
-            idx.codes.reshape(-1, 128), pflat, tlo, thi, rpp, cb=cb
-        )
+        # Production kernel: compact fused-epilogue output + block trimming
+        # (_search_qadc_direct_impl).
+        import math as _math
 
-    def smat(acc):
-        s_mat = jnp.asarray(
-            (np.arange(128)[:, None] // cb) == np.arange(cpr)[None, :],
-            jnp.float32,
+        pflat = parts.reshape(-1)
+        blk_rows = _math.gcd(512, rpp)
+        sz_rows = -(-idx.part_sizes[pflat] // cpr)
+        return rows_adc_grouped_prefetch(
+            idx.codes.reshape(-1, 128), pflat, tlo, thi, rpp, cb=cb,
+            compact_out=True,
+            group_nblk=jnp.clip(
+                (sz_rows + blk_rows - 1) // blk_rows, 1, rpp // blk_rows
+            ).astype(jnp.int32),
         )
-        return jnp.dot(acc, s_mat, precision=jax.lax.Precision.HIGHEST)
 
     def mask(idx, parts, d, q):
-        # Production masking: finite sentinel, no up-front label gather
-        # (_search_qadc_direct_impl).
+        # Production masking: compact transposed layout (column c*rpp + rr is
+        # code rr*cpr + c), finite sentinel, no up-front label gather.
         d = d.reshape(q, ma * idx.part_pad)
         sz = idx.part_sizes[parts]
         col = jnp.arange(idx.part_pad, dtype=jnp.int32)
-        valid = (col[None, None, :] < sz[:, :, None]).reshape(
+        code_of_col = (col % rpp) * cpr + col // rpp
+        valid = (code_of_col[None, None, :] < sz[:, :, None]).reshape(
             q, ma * idx.part_pad
         )
         return jnp.where(valid, d, jnp.float32(3.0e38))
@@ -83,9 +87,9 @@ def main():
         sv = jnp.take_along_axis(d, si, axis=-1)
         a_id = si // idx.part_pad
         part_sel = _select_cols(parts, a_id, ma)
-        sl = idx.labels.reshape(-1)[
-            part_sel * idx.part_pad + si % idx.part_pad
-        ]
+        within = si % idx.part_pad
+        code_local = (within % rpp) * cpr + within // rpp
+        sl = idx.labels.reshape(-1)[part_sel * idx.part_pad + code_local]
         return sv, sl
 
     stages = {}
@@ -98,17 +102,14 @@ def main():
             parts, tlo, thi = front(idx, qs)
             if upto == 1:
                 return tlo.sum()
-            acc = kernel(idx, parts, tlo, thi)
+            d = kernel(idx, parts, tlo, thi)
             if upto == 2:
-                return acc[0, 0]
-            d = smat(acc)
-            if upto == 3:
                 return d[0, 0]
             d = mask(idx, parts, d, q)
-            if upto == 4:
+            if upto == 3:
                 return d[0, 0]
             sv, sl = screen(idx, parts, d, q, min(2 * r, d.shape[1]))
-            if upto == 5:
+            if upto == 4:
                 return sv[0, 0]
             fv, fl = topk_smallest(sv, sl, r)
             return jnp.where(fv[0, 0] >= 3.0e38, jnp.inf, fv[0, 0])
@@ -117,7 +118,7 @@ def main():
 
     k_lo, k_hi = (100, 500) if batch == 1 else (30, 150)
     prev = 0.0
-    names = ["front", "kernel", "smat", "mask", "screen", "topk"]
+    names = ["front", "kernel", "mask", "screen", "topk"]
     for i, name in enumerate(names, start=1):
         dt = fori_slope_seconds(
             bodies(i), (index, queries), k_lo=k_lo, k_hi=k_hi

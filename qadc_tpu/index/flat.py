@@ -46,6 +46,21 @@ from qadc_tpu.ops.tables import adc_tables
 from qadc_tpu.quantizers.pq import ProductQuantizer
 
 
+def _flat_range_count(n_pad: int, qp: int, window: int, budget: int) -> int:
+    """Code-axis ranges so the kernel's (Qp, range/W) window-min output fits
+    the scan budget (index.ivf.SCAN_BUDGET_BYTES — the reference's
+    TABLES_BUFFER_SIZE analog). The flat kernel pads queries to Qp >= 128,
+    so at 100M codes the minima alone are 3.2 GB even at batch 1 without
+    chunking; ranges scan sequentially and merge their top-r."""
+    nr = 1
+    while (
+        (n_pad // nr) // window * qp * 4 > budget
+        and (n_pad // (nr * 2)) % DEFAULT_BLOCK_N == 0
+    ):
+        nr *= 2
+    return nr
+
+
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["pq", "codes"],
@@ -273,8 +288,11 @@ def _search_adc_recon(index: FlatIndex, queries, r: int):
     return jax.lax.fori_loop(0, n_pad // chunk, body, init)
 
 
-@partial(jax.jit, static_argnames=("r", "interpret"))
-def search_adc(index: FlatIndex, queries, r: int = 100, interpret: bool = False):
+@partial(jax.jit, static_argnames=("r", "interpret", "scan_budget_bytes"))
+def search_adc(
+    index: FlatIndex, queries, r: int = 100, interpret: bool = False,
+    scan_budget_bytes: int | None = None,
+):
     """Conventional float ADC search.
 
     On TPU the scan runs as a Pallas one-hot kernel (4-bit: int tables become
@@ -299,48 +317,78 @@ def search_adc(index: FlatIndex, queries, r: int = 100, interpret: bool = False)
     on_tpu = jax.default_backend() == "tpu" or interpret
     enough = n_pad // DEFAULT_WINDOW >= 8 * r
 
+    from qadc_tpu.index.ivf import SCAN_BUDGET_BYTES
+
+    budget = SCAN_BUDGET_BYTES if scan_budget_bytes is None else scan_budget_bytes
+    q = tables.shape[0]
+    qp = -(-q // 128) * 128
+
     if on_tpu and enough and index.pq.sq_bits == 4 and index.pq.sq_count in (16, 32) \
             and n_pad % DEFAULT_BLOCK_N == 0:
-        window = min(index.cpr, DEFAULT_WINDOW)
-        bn = pick_block_n(n_pad)
-        tlo, thi = build_scan_tables(tables)
-        vals, _ = lut_scan_reduce(
-            index.codes, tlo.astype(jnp.float32), thi.astype(jnp.float32),
-            cb=cb, block_n=bn, window=window, acc_dtype_name="float32",
-            interpret=interpret, transpose_out=True,
-        )
         # Exact-screen window expansion: a code outside the top-2r windows is
         # beaten by 2r better codes; the expansion is ranked with exact-f32
         # rows_adc, so results are exact top-r (the kernel's bf16-pass matmul
-        # affects only which windows are selected, with a 2x margin).
-        wq = min(2 * r, n_pad // window)
-        return _flat_window_search(
-            index, vals, tables, r, wq, True, bn, window, interpret=interpret
-        )
+        # affects only which windows are selected, with a 2x margin). Ranges
+        # chunk the code axis under the scan budget; exact merges stay exact.
+        window = min(index.cpr, DEFAULT_WINDOW)
+        nr = _flat_range_count(n_pad, qp, window, budget)
+        range_codes = n_pad // nr
+        rows_pr = index.codes.shape[0] // nr
+        bn = pick_block_n(range_codes)
+        tlo, thi = build_scan_tables(tables)
+        labels_full = index.labels
+        best = None
+        for ri in range(nr):
+            codes_r = index.codes[ri * rows_pr : (ri + 1) * rows_pr]
+            vals, _ = lut_scan_reduce(
+                codes_r, tlo.astype(jnp.float32), thi.astype(jnp.float32),
+                cb=cb, block_n=bn, window=window, acc_dtype_name="float32",
+                interpret=interpret, transpose_out=True,
+            )
+            wq = min(2 * r, range_codes // window)
+            size_r = min(max(index.n - ri * range_codes, 0), range_codes)
+            dv, dl = window_search_rows(
+                codes_r,
+                labels_full[ri * range_codes : (ri + 1) * range_codes],
+                size_r, vals, tables, r, wq, True, bn, window,
+                interpret=interpret,
+            )
+            best = (dv, dl) if best is None else merge_topk(*best, dv, dl, r)
+        return best
     if on_tpu and enough and index.pq.sq_bits == 8 and n_pad % 256 == 0 \
             and 128 % cb == 0:
         t8 = build_scan8_tables(tables)
-        vals, rows = lut_scan8_reduce(
-            index.codes, t8, m=index.pq.sq_count, interpret=interpret,
-            transpose_out=True,
-        )
-    else:
-        packed = row128_to_codes(index.codes, cb)
-        return scan_topk_f32(
-            packed, index.labels, tables, index.pq.sq_bits, r,
-            num_valid=index.n,
-        )
-
-    q = tables.shape[0]
-    vals = jnp.where(rows < index.n, vals.astype(jnp.float32), jnp.inf)
-    vals_t, rows_t = vals[:q], rows[:q]
-    rr = min(2 * r, vals_t.shape[1])
-    screen_v, sel = screen_smallest(vals_t, rr)
-    cand = jnp.take_along_axis(rows_t, sel, axis=1)       # (Q, rr) row ids
-    cand_codes = gather_codes_row128(index.codes, cand, cb)
-    fd = _exact_rerank(tables, cand_codes, index.pq.sq_bits)
-    fd = jnp.where(jnp.isfinite(screen_v), fd, jnp.inf)
-    return topk_smallest(fd, cand, r)
+        # Two output streams (vals + rows): halve the per-range budget share.
+        nr = _flat_range_count(n_pad, qp, DEFAULT_WINDOW, budget // 2)
+        range_codes = n_pad // nr
+        rows_pr = index.codes.shape[0] // nr
+        best = None
+        for ri in range(nr):
+            codes_r = index.codes[ri * rows_pr : (ri + 1) * rows_pr]
+            vals, rows = lut_scan8_reduce(
+                codes_r, t8, m=index.pq.sq_count, interpret=interpret,
+                transpose_out=True,
+            )
+            rows = rows + ri * range_codes                # global row ids
+            vals = jnp.where(rows < index.n, vals.astype(jnp.float32), jnp.inf)
+            vals_t, rows_t = vals[:q], rows[:q]
+            rr = min(2 * r, vals_t.shape[1])
+            screen_v, sel = screen_smallest(vals_t, rr)
+            cand = jnp.take_along_axis(rows_t, sel, axis=1)  # (Q, rr) row ids
+            cand_codes = gather_codes_row128(index.codes, cand, cb)
+            fd = _exact_rerank(tables, cand_codes, index.pq.sq_bits)
+            fd = jnp.where(jnp.isfinite(screen_v), fd, jnp.inf)
+            if rr < r:
+                fd = jnp.pad(fd, [(0, 0), (0, r - rr)], constant_values=jnp.inf)
+                cand = jnp.pad(cand, [(0, 0), (0, r - rr)])
+            dv, dl = topk_smallest(fd, cand, r)
+            best = (dv, dl) if best is None else merge_topk(*best, dv, dl, r)
+        return best
+    packed = row128_to_codes(index.codes, cb)
+    return scan_topk_f32(
+        packed, index.labels, tables, index.pq.sq_bits, r,
+        num_valid=index.n,
+    )
 
 
 def _prefix_size(n: int, keep: float) -> int:
@@ -348,10 +396,16 @@ def _prefix_size(n: int, keep: float) -> int:
     return max(1, int(n * keep))
 
 
-@partial(jax.jit, static_argnames=("r", "keep", "rerank", "interpret", "saturate"))
+@partial(
+    jax.jit,
+    static_argnames=(
+        "r", "keep", "rerank", "interpret", "saturate", "scan_budget_bytes"
+    ),
+)
 def search_qadc(
     index: FlatIndex, queries, r: int = 100, keep: float = 0.01,
     rerank: bool = True, interpret: bool = False, saturate: bool = False,
+    scan_budget_bytes: int | None = None,
 ):
     """Quick-ADC search (sq_bits must be 4; db_query_4.cpp:393-402).
 
@@ -409,22 +463,42 @@ def search_qadc(
         # rerank=True ranks with exact f32 tables (recall recovery); False
         # ranks with the quantized tables — EXACT reference-style top-r by
         # quantized distance (top-r windows by min provably contain it).
+        # Ranges chunk the code axis when the window-min output would bust
+        # the scan budget (per-range exact merges stay exact).
+        from qadc_tpu.index.ivf import SCAN_BUDGET_BYTES
+
         window = min(cpr, DEFAULT_WINDOW)
-        bn = pick_block_n(n_pad)
+        qp = -(-tables.shape[0] // 128) * 128
+        budget = (
+            SCAN_BUDGET_BYTES if scan_budget_bytes is None else scan_budget_bytes
+        )
+        nr = _flat_range_count(n_pad, qp, window, budget)
+        range_codes = n_pad // nr
+        rows_pr = index.codes.shape[0] // nr
+        bn = pick_block_n(range_codes)
         tlo, thi = build_scan_tables(qtables)
-        vals, _ = lut_scan_reduce(
-            index.codes, tlo, thi, cb=cb, block_n=bn, window=window,
-            interpret=interpret, transpose_out=True,
-        )
-        if saturate:
-            # Entries >= 0: window-min of saturating sums == min(min, 127).
-            vals = jnp.minimum(vals, 127)
-        wq = min((2 if rerank else 1) * r, n_pad // window)
         rank_tables = tables if rerank else qtables.astype(jnp.float32)
-        return _flat_window_search(
-            index, vals, rank_tables, r, wq, not rerank, bn, window,
-            clamp127=saturate and not rerank, interpret=interpret,
-        )
+        labels_full = index.labels
+        best = None
+        for ri in range(nr):
+            codes_r = index.codes[ri * rows_pr : (ri + 1) * rows_pr]
+            vals, _ = lut_scan_reduce(
+                codes_r, tlo, thi, cb=cb, block_n=bn, window=window,
+                interpret=interpret, transpose_out=True,
+            )
+            if saturate:
+                # Entries >= 0: window-min of saturating sums == min(min, 127).
+                vals = jnp.minimum(vals, 127)
+            wq = min((2 if rerank else 1) * r, range_codes // window)
+            size_r = min(max(index.n - ri * range_codes, 0), range_codes)
+            dv, dl = window_search_rows(
+                codes_r,
+                labels_full[ri * range_codes : (ri + 1) * range_codes],
+                size_r, vals, rank_tables, r, wq, not rerank, bn, window,
+                clamp127=saturate and not rerank, interpret=interpret,
+            )
+            best = (dv, dl) if best is None else merge_topk(*best, dv, dl, r)
+        return best
 
     packed = row128_to_codes(index.codes, cb)
     if not rerank:

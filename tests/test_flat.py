@@ -134,3 +134,25 @@ def test_flat_incremental_add(rng):
     d1, l1 = flat.search_adc(i1, queries[:4], r=10)
     d2, l2 = flat.search_adc(i2, queries[:4], r=10)
     np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+
+
+def test_flat_scan_budget_ranges_identical(rng):
+    """A tiny scan budget forces code-axis range chunking; exact paths must
+    return identical results (per-range exact merges stay exact)."""
+    from qadc_tpu.index.flat import _flat_range_count
+
+    base, queries, gt = _synthetic(rng, n=8000)  # n_pad 8192 = 8 x 1024
+    pq = train_pq(jax.random.PRNGKey(0), base, sq_count=16, sq_bits=4, iters=8)
+    index = flat.add(flat.FlatIndex.create(pq), base)
+    assert _flat_range_count(index.n_pad, 128, 16, 1 << 16) > 1  # chunking on
+    d1, l1 = flat.search_qadc(index, queries, r=20, keep=0.05, interpret=True,
+                              rerank=False)
+    d2, l2 = flat.search_qadc(index, queries, r=20, keep=0.05, interpret=True,
+                              rerank=False, scan_budget_bytes=1 << 16)
+    np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
+
+    d3, l3 = flat.search_adc(index, queries, r=20, interpret=True)
+    d4, l4 = flat.search_adc(index, queries, r=20, interpret=True,
+                             scan_budget_bytes=1 << 16)
+    np.testing.assert_allclose(np.asarray(d3), np.asarray(d4), rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(l3), np.asarray(l4))
