@@ -91,7 +91,7 @@ def main():
         except Exception as e:  # noqa: BLE001
             print(f"m={m} VPU-select: FAIL {type(e).__name__}: {e}")
     for m in (16, 32):
-        for variant in ("bf16", "int8"):
+        for variant in ("bf16", "int8", "int8c"):
             for with_rows in (True, False):
                 for block_n in (512, 1024, 2048):
                     try:

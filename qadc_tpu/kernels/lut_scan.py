@@ -142,7 +142,8 @@ def _expand_consts(cb: int):
 
 
 def _accumulate_rows_generic(
-    raw, cb, tlo, thi, jpat_ref, e_ref, acc_dtype, *, int8_expand
+    raw, cb, tlo, thi, jpat_ref, e_ref, acc_dtype, *, int8_expand,
+    compare_int8=False,
 ):
     """Distances straight from (R, 128) storage rows against table slabs.
 
@@ -183,9 +184,19 @@ def _accumulate_rows_generic(
     rep_lo = expand(lo_raw)
     rep_hi = expand(hi_raw)
     jp = jpat_ref[0:1, :]
+    oh_dtype = jnp.int8 if acc_dtype == jnp.int32 else jnp.float32
+    if int8_expand and compare_int8:
+        # Nibble values fit int8: compare on int8 vectors (1/4 the VPU bytes
+        # of int32 compares) — A/B row for the remaining VPU overhead
+        # (docs/kernels.md roofline: ~0.2 ms of compares/casts at 1M x 128q).
+        jp8 = jp.astype(jnp.int8)
+        oh_lo = (rep_lo.astype(jnp.int8) == jp8).astype(oh_dtype)
+        oh_hi = (rep_hi.astype(jnp.int8) == jp8).astype(oh_dtype)
+        return jnp.dot(oh_lo, tlo, preferred_element_type=acc_dtype) + jnp.dot(
+            oh_hi, thi, preferred_element_type=acc_dtype
+        )
     if int8_expand:
         jp = jp.astype(jnp.int32)
-    oh_dtype = jnp.int8 if acc_dtype == jnp.int32 else jnp.float32
     oh_lo = (rep_lo == jp).astype(oh_dtype)
     oh_hi = (rep_hi == jp).astype(oh_dtype)
     acc = jnp.dot(oh_lo, tlo, preferred_element_type=acc_dtype)
@@ -194,6 +205,9 @@ def _accumulate_rows_generic(
 
 _accumulate_rows = functools.partial(_accumulate_rows_generic, int8_expand=False)
 _accumulate_rows_int8 = functools.partial(_accumulate_rows_generic, int8_expand=True)
+_accumulate_rows_int8c = functools.partial(
+    _accumulate_rows_generic, int8_expand=True, compare_int8=True
+)
 
 
 def _window_min(acc, window: int):
@@ -305,7 +319,11 @@ def lut_scan_reduce(
     r16 = block_n // cpr
     grid = (n_pad // block_n,)
     e, jpat = _expand_consts(cb)
-    accfn = _accumulate_rows_int8 if variant == "int8" else _accumulate_rows
+    accfn = {
+        "int8": _accumulate_rows_int8,
+        "int8c": _accumulate_rows_int8c,  # int8 compares (A/B row)
+        "bf16": _accumulate_rows,
+    }[variant]
 
     in_specs = [
         pl.BlockSpec((r16, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),

@@ -448,3 +448,22 @@ def test_rows_adc_compact_out_parity(rng):
         )                                                 # (GCAP*cpr, rpp)
         got = np.asarray(got).reshape(gcap, cpr, rpp)
         np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-5)
+
+
+def test_int8c_variant_parity(rng):
+    """variant='int8c' (int8 compares in the one-hot build) == 'int8'."""
+    import jax.numpy as jnp
+
+    from qadc_tpu.kernels.lut_scan import build_scan_tables, lut_scan_reduce
+
+    codes = jnp.asarray(
+        rng.integers(0, 256, size=(8192 // 16, 128), dtype=np.uint8)
+    )
+    qt = jnp.asarray(rng.integers(-30, 120, size=(32, 16, 16)).astype(np.int8))
+    tlo, thi = build_scan_tables(qt)
+    a, ra = lut_scan_reduce(codes, tlo, thi, cb=8, block_n=1024,
+                            interpret=True, variant="int8", with_rows=True)
+    b, rb = lut_scan_reduce(codes, tlo, thi, cb=8, block_n=1024,
+                            interpret=True, variant="int8c", with_rows=True)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(np.asarray(ra), np.asarray(rb))
