@@ -71,6 +71,16 @@ def sift_moment_like(rng, n, nq=256, clusters=2048, spread=0.5, dim=128):
     return draw(n), draw(nq)
 
 
+def batched(search_fn, queries, bs=32):
+    """Run a search in query batches (the CPU jnp 8-bit fallback materializes
+    (Q, part_pad, M*256) one-hots — 139 GB at nq=200/1M unbatched)."""
+    outs = []
+    for s in range(0, queries.shape[0], bs):
+        _, l = search_fn(queries[s : s + bs])
+        outs.append(np.asarray(l))
+    return np.concatenate(outs)
+
+
 def load_sift1m(nq):
     """Load SIFT1M if present; returns None when unavailable (zero egress)."""
     from qadc_tpu.io import load_vectors
@@ -132,11 +142,14 @@ def main():
     opq88 = train_opq(jax.random.PRNGKey(0), learn, 8, 8, opq_iters=6, kmeans_iters=12)
     opq164 = train_opq(jax.random.PRNGKey(1), learn, 16, 4, opq_iters=6, kmeans_iters=12)
     f88 = flat.add(flat.FlatIndex.create(opq88), base)
-    _, l = flat.search_adc(f88, queries, r=100)
-    res["flat_8x8_adc"] = recall_at_r(np.asarray(l), gt)
+    l = batched(lambda q: flat.search_adc(f88, q, r=100), queries)
+    res["flat_8x8_adc"] = recall_at_r(l, gt)
     f164 = flat.add(flat.FlatIndex.create(opq164), base)
-    _, l = flat.search_qadc(f164, queries, r=100, keep=max(200 / n, 0.00213))
-    res["flat_16x4_qadc"] = recall_at_r(np.asarray(l), gt)
+    l = batched(
+        lambda q: flat.search_qadc(f164, q, r=100, keep=max(200 / n, 0.00213)),
+        queries,
+    )
+    res["flat_16x4_qadc"] = recall_at_r(l, gt)
     print(f"flat anchors: {time.time()-t0:.0f}s", file=sys.stderr, flush=True)
 
     t0 = time.time()
@@ -149,33 +162,38 @@ def main():
     i164 = ivf.add(ivf.IVFIndex.create(r164, coarse), base)
     print(f"IVF built: {time.time()-t0:.0f}s", file=sys.stderr, flush=True)
 
-    _, l = ivf.search_adc(i88, queries, r=100, ma=24)
-    res["ivf_8x8_adc_ma24"] = recall_at_r(np.asarray(l), gt)
+    l = batched(lambda q: ivf.search_adc(i88, q, r=100, ma=24), queries)
+    res["ivf_8x8_adc_ma24"] = recall_at_r(l, gt)
     keep0 = 0.00213 * 4  # reference -k 0.213 is % of N; per-partition here
-    _, l = ivf.search_qadc(i164, queries, r=100, ma=24, keep=keep0)
-    res["ivf_16x4_qadc_ma24"] = recall_at_r(np.asarray(l), gt)
-    _, l = ivf.search_qadc(i164, queries, r=100, ma=24, keep=keep0, rerank=False)
-    res["ivf_16x4_qadc_ma24_norerank"] = recall_at_r(np.asarray(l), gt)
+    l = batched(lambda q: ivf.search_qadc(i164, q, r=100, ma=24, keep=keep0),
+                queries)
+    res["ivf_16x4_qadc_ma24"] = recall_at_r(l, gt)
+    l = batched(
+        lambda q: ivf.search_qadc(i164, q, r=100, ma=24, keep=keep0,
+                                  rerank=False),
+        queries,
+    )
+    res["ivf_16x4_qadc_ma24_norerank"] = recall_at_r(l, gt)
 
     # ---- ma sweep (keep fixed): the reference's probe/recall trade-off.
     ma_sweep = {}
     for ma in (1, 2, 4, 8, 16, 24, 48):
-        _, l = ivf.search_qadc(i164, queries, r=100, ma=ma, keep=keep0)
-        _, l8 = ivf.search_adc(i88, queries, r=100, ma=ma)
-        ma_sweep[ma] = (
-            recall_at_r(np.asarray(l), gt), recall_at_r(np.asarray(l8), gt)
-        )
+        l = batched(lambda q: ivf.search_qadc(i164, q, r=100, ma=ma, keep=keep0),
+                    queries)
+        l8 = batched(lambda q: ivf.search_adc(i88, q, r=100, ma=ma), queries)
+        ma_sweep[ma] = (recall_at_r(l, gt), recall_at_r(l8, gt))
 
     # ---- keep sweep at ma=24: bound quality vs exact-prefix cost.
     keep_sweep = {}
     for keep in (0.0005, 0.001, 0.00213, 0.005, 0.02):
-        _, l = ivf.search_qadc(i164, queries, r=100, ma=24, keep=keep)
-        _, ln = ivf.search_qadc(
-            i164, queries, r=100, ma=24, keep=keep, rerank=False
+        l = batched(lambda q: ivf.search_qadc(i164, q, r=100, ma=24, keep=keep),
+                    queries)
+        ln = batched(
+            lambda q: ivf.search_qadc(i164, q, r=100, ma=24, keep=keep,
+                                      rerank=False),
+            queries,
         )
-        keep_sweep[keep] = (
-            recall_at_r(np.asarray(l), gt), recall_at_r(np.asarray(ln), gt)
-        )
+        keep_sweep[keep] = (recall_at_r(l, gt), recall_at_r(ln, gt))
 
     # ---- report
     print(f"\n### Recall curves ({source}, R=100, {nq} queries)\n")

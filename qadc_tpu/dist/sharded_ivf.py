@@ -265,11 +265,9 @@ def _search_impl(
             cv_q = cv.reshape(qc, ma * c)
             # bf16 screen on TPU (see index.ivf._search_qadc_grouped_impl):
             # screen_v only feeds the isfinite dead-slot mask in window_rerank.
-            cv_s = (
-                cv_q.astype(jnp.bfloat16)
-                if jax.default_backend() == "tpu" else cv_q
-            )
-            screen_v, selq = screen_smallest(cv_s, wq)
+            from qadc_tpu.ops.topk import bf16_screen
+
+            screen_v, selq = screen_smallest(bf16_screen(cv_q), wq)
             sel_ai = selq // c
             sel_wi = selq % c
             sel_pair = jnp.arange(qc, dtype=jnp.int32)[:, None] * ma + sel_ai

@@ -175,11 +175,9 @@ def window_search_rows(
     else:
         # bf16 screen on TPU (halves approx_min_k bytes); screen_v only
         # feeds window_rerank's isfinite dead-slot mask.
-        vs = (
-            vals_t.astype(jnp.bfloat16)
-            if jax.default_backend() == "tpu" else vals_t
-        )
-        screen_v, sel = screen_smallest(vs, wq)
+        from qadc_tpu.ops.topk import bf16_screen
+
+        screen_v, sel = screen_smallest(bf16_screen(vals_t), wq)
     sel_part = jnp.zeros((q, wq), jnp.int32)
     sel_pair = jnp.broadcast_to(jnp.arange(q, dtype=jnp.int32)[:, None], (q, wq))
     sel_sz = jnp.broadcast_to(jnp.asarray(size, jnp.int32), (q, wq))

@@ -925,8 +925,9 @@ def _search_qadc_direct_impl(
     # near-ties across the screen boundary, absorbed by wq = 2r + the exact
     # final top-k. Off-TPU the screen is an exact top_k — keep f32 so the
     # direct path stays bit-exact vs search_adc there.
-    d_screen = d.astype(jnp.bfloat16) if jax.default_backend() == "tpu" else d
-    _, si = screen_smallest(d_screen, wq)
+    from qadc_tpu.ops.topk import bf16_screen
+
+    _, si = screen_smallest(bf16_screen(d), wq)
     sv = jnp.take_along_axis(d, si, axis=-1)              # (Q, wq) tiny gather
     # Labels for the wq winners only (the up-front (Q, ma*part_pad) label
     # gather + take_along was ~14 us of the b=1 budget): column j belongs to
@@ -1025,13 +1026,11 @@ def _search_qadc_grouped_impl(
         # on TPU (halves approx_min_k's input bytes). bf16 is exact to 256 and
         # within 8 counts above — swaps only near-tied windows across the
         # wq = 2r boundary, absorbed by the exact whole-window rerank.
-        cv_s = (
-            cv_q.astype(jnp.bfloat16)
-            if jax.default_backend() == "tpu" else cv_q
-        )
+        from qadc_tpu.ops.topk import bf16_screen
+
         # screen_v only feeds an isfinite() dead-slot mask downstream, so the
         # bf16 values are enough — no exact-value regather.
-        screen_v, selq = screen_smallest(cv_s, wq)          # (Q, wq) into ma*C
+        screen_v, selq = screen_smallest(bf16_screen(cv_q), wq)  # into ma*C
     else:
         # Reference-style ranking must be EXACT top-r by quantized distance:
         # exact window selection (top-wq windows by min with wq >= r provably

@@ -37,6 +37,24 @@ def window_min_reduce(dists, window: int, base_index: int = 0):
     return vals, arg + row_base
 
 
+def bf16_screen(vals):
+    """Cast screen inputs to bf16 on TPU (halves approx_min_k's input
+    bytes); downstream uses of screened VALUES are limited to isfinite
+    dead-slot masks, and exact reranks absorb selection-boundary swaps.
+
+    Centralized so the pending hardware recall A/B (round-2 STATUS) is one
+    switch: QADC_BF16_SCREEN=0 disables it everywhere. Off-TPU the screen is
+    an exact top_k and stays f32 (bit-exact against oracles).
+    """
+    import os
+
+    if jax.default_backend() == "tpu" and os.environ.get(
+        "QADC_BF16_SCREEN", "1"
+    ) != "0":
+        return vals.astype(jnp.bfloat16)
+    return vals
+
+
 def screen_smallest(vals, k: int, recall_target: float = 0.95):
     """Approximate k-smallest screening along the last axis.
 
