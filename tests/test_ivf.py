@@ -229,3 +229,28 @@ def test_ivf_ma_exceeds_part_count(rng):
     a_all = ivf.search_adc(index, queries[:4], r=20, ma=8)
     a_big = ivf.search_adc(index, queries[:4], r=20, ma=50)
     np.testing.assert_array_equal(np.asarray(a_big[1]), np.asarray(a_all[1]))
+
+
+def test_ivf_direct_m32_geometry(rng):
+    """Direct path at GIST geometry (M=32, cb=16 -> two 128-lane table
+    halves in the compact rows_adc kernel) must equal search_adc exactly —
+    the M=32 configs historically hit Mosaic layout corner cases."""
+    dim, n, p = 64, 6000, 8
+    centers = rng.normal(scale=3.0, size=(p, dim)).astype(np.float32)
+    base = (centers[rng.integers(0, p, n)]
+            + rng.normal(size=(n, dim))).astype(np.float32)
+    queries = (centers[rng.integers(0, p, 6)]
+               + rng.normal(size=(6, dim))).astype(np.float32)
+    from qadc_tpu.ops.knn import assign_nearest
+
+    coarse = ivf.train_coarse(jax.random.PRNGKey(0), base[:3000], p, iters=5)
+    a = np.asarray(assign_nearest(base[:3000], coarse))
+    pq = train_pq(jax.random.PRNGKey(1), base[:3000] - np.asarray(coarse)[a],
+                  32, 4, iters=5)
+    index = ivf.add(ivf.IVFIndex.create(pq, coarse), base)
+    d_ref, l_ref = ivf.search_adc(index, queries, r=30, ma=3)
+    d, l = ivf.search_qadc(index, queries, r=30, ma=3, direct=True,
+                           interpret=True)
+    np.testing.assert_array_equal(np.asarray(l), np.asarray(l_ref))
+    np.testing.assert_allclose(np.asarray(d), np.asarray(d_ref),
+                               rtol=0, atol=1e-3)
