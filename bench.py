@@ -248,7 +248,23 @@ def _require_device(timeout_s: float = 180.0):
                     "value": 0,
                     "unit": "code-query pairs/s/chip",
                     "vs_baseline": 0,
-                    "detail": {"error": err},
+                    "detail": {
+                        "error": err,
+                        # NOT this run's numbers — the last hardware-captured
+                        # scorecard, for context only (benchmarks/RESULTS.md
+                        # has the full record and date).
+                        "last_hardware_scorecard_STALE": {
+                            "date": "2026-08-17",
+                            "scan_cq_per_s": 300.6e9,
+                            "scan_vs_reference": 276.0,
+                            "ivf256_ma24_r100_us_b128": 18.4,
+                            "ivf256_ma24_r100_us_b32": 38.3,
+                            "ivf256_ma24_r100_us_b1": 97.6,
+                            "reference_total_us": 120.0,
+                            "note": "measured before the relay outage; "
+                            "~15 perf commits since are unmeasured",
+                        },
+                    },
                 }
             )
         )
