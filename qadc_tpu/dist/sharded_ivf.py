@@ -142,6 +142,8 @@ def _search_impl(
     group_size: int, window: int, interpret: bool, mesh,
     overlap_chunks: int = 1,
 ):
+    import math
+
     d = mesh.shape[SHARD_AXIS]
     p_total = index.part_count
     p_loc = p_total // d
@@ -150,7 +152,10 @@ def _search_impl(
     lanes = (m // 2) * 16
     q = queries.shape[0]
     qa = q * ma
-    block_n = 512
+    # Same block policy as the local grouped path (index.ivf): bigger blocks
+    # = fewer grid steps (blk 1024->8192 measured ~30% on the flat kernel);
+    # gcd keeps divisibility for every PART_ALIGN multiple.
+    block_n = math.gcd(2048, part_pad)
     cb = m // 2
 
     # Replicated front: assignment + residual tables.
