@@ -5,7 +5,11 @@ from qadc_tpu.dist.sharded import (
     search_adc_flat_sharded,
     search_query_parallel,
 )
-from qadc_tpu.dist.sharded_ivf import shard_ivf_partitions, search_qadc_ivf_sharded
+from qadc_tpu.dist.sharded_ivf import (
+    load_sharded_index,
+    search_qadc_ivf_sharded,
+    shard_ivf_partitions,
+)
 
 __all__ = [
     "make_mesh",
@@ -15,4 +19,5 @@ __all__ = [
     "search_query_parallel",
     "shard_ivf_partitions",
     "search_qadc_ivf_sharded",
+    "load_sharded_index",
 ]
