@@ -83,35 +83,51 @@ def shard_ivf_partitions(index: IVFIndex, mesh) -> IVFIndex:
 
 def load_sharded_index(path: str, mesh) -> IVFIndex:
     """Assemble a partition-sharded IVFIndex from a sharded checkpoint, with
-    each PROCESS reading only its own shard file.
+    each PROCESS reading only the partition rows it will own — resharding on
+    load when the checkpoint's shard count differs from the process count.
 
     Multi-process counterpart of shard_ivf_partitions (which device_puts a
-    host-global array and so only works single-process): process i reads
-    shard_i of an io.checkpoint.save_index_sharded checkpoint written with
-    num_shards == jax.process_count(), and the global (P, ...) arrays are
-    assembled via jax.make_array_from_process_local_data — no host ever
-    materializes the whole index (SURVEY §5.8: per-host shard loading
-    replaces the reference's offline split_vecs distribution). Works
-    unchanged with one process (num_shards == 1).
+    host-global array and so only works single-process). The checkpoint's k
+    shard files define a contiguous global partition axis of k*parts_per_shard
+    rows; that axis is re-padded to a device multiple with empty partitions
+    and re-sliced contiguously over the p running processes (a checkpoint
+    written for 8 hosts restarts on 2, and vice versa — SURVEY §5.3 elastic
+    restart; the reference has only the offline split_vecs sharder,
+    split_vecs.cpp). Global arrays are assembled via
+    jax.make_array_from_process_local_data — no host ever materializes the
+    whole index. Works unchanged with one process or shards == processes.
     """
-    from qadc_tpu.io.checkpoint import load_index_shard
+    from qadc_tpu.io.checkpoint import load_index_rows
 
     procs = jax.process_count()
-    local, manifest = load_index_shard(path, jax.process_index())
-    if manifest["num_shards"] != procs:
-        raise ValueError(
-            f"checkpoint has {manifest['num_shards']} shards but "
-            f"{procs} processes are running"
-        )
-    per = int(manifest["parts_per_shard"])
-    p_pad = per * procs
-    # Each process's shard rows are contiguous in the global partition axis,
-    # so the mesh's device order must be process-major for the local rows to
-    # land on the process's own devices.
+    d = mesh.shape[SHARD_AXIS]
+    if d % procs != 0:
+        raise ValueError(f"mesh axis ({d}) must be a multiple of process count ({procs})")
+    # Each process's rows are contiguous in the global partition axis, so the
+    # mesh's device order must be process-major for the local rows to land on
+    # the process's own devices.
     axis_devs = list(mesh.devices.reshape(-1))
-    pidx = [d.process_index for d in axis_devs]
+    pidx = [dev.process_index for dev in axis_devs]
     if pidx != sorted(pidx):
         raise ValueError("mesh device order must be process-major along the shard axis")
+
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(path, "manifest.json")) as f:
+        manifest = _json.load(f)
+    stored = int(manifest["parts_per_shard"]) * int(manifest["num_shards"])
+    p_pad = -(-stored // d) * d  # device multiple (hence process multiple)
+    per_proc = p_pad // procs
+    i = jax.process_index()
+    local, _ = load_index_rows(path, i * per_proc, (i + 1) * per_proc)
+
+    coarse = np.asarray(local.coarse_centroids)  # global, stored rows
+    if p_pad != coarse.shape[0]:
+        # Extra empty partitions: centroids far away so no query probes them
+        # (same convention as shard_ivf_partitions / save_index_sharded).
+        far = np.full((p_pad - coarse.shape[0], coarse.shape[1]), 1e30, np.float32)
+        coarse = np.concatenate([coarse, far])
 
     def mk(arr, spec):
         arr = np.asarray(arr)
@@ -121,7 +137,7 @@ def load_sharded_index(path: str, mesh) -> IVFIndex:
 
     return IVFIndex(
         pq=local.pq,
-        coarse_centroids=local.coarse_centroids,  # global, replicated
+        coarse_centroids=jnp.asarray(coarse),  # replicated
         codes=mk(local.codes, P(SHARD_AXIS, None, None)),
         labels=mk(local.labels, P(SHARD_AXIS, None)),
         part_sizes=mk(local.part_sizes, P(SHARD_AXIS)),

@@ -148,6 +148,69 @@ def load_index_shard(path: str, shard_id: int):
     )
 
 
+def load_index_rows(path: str, lo: int, hi: int):
+    """Load global partition rows [lo, hi) of a sharded IVF checkpoint.
+
+    Reshard-on-load primitive: the requested range may span several shard
+    files (a checkpoint written for k hosts served by p != k processes) and
+    may extend past the stored partition count, in which case the tail is
+    zero-filled empty partitions. Returns (IVFIndex slice, manifest); the
+    coarse centroids stay GLOBAL (replicated) and are NOT padded here —
+    callers pad them to their own global partition count.
+    """
+    with open(os.path.join(path, "manifest.json")) as f:
+        manifest = json.load(f)
+    if manifest["type"] != "ivf_sharded":
+        raise ValueError(f"not a sharded checkpoint: {manifest['type']}")
+    if not 0 <= lo <= hi:
+        raise ValueError(f"bad row range [{lo}, {hi})")
+    per = int(manifest["parts_per_shard"])
+    stored = per * int(manifest["num_shards"])
+    shared = np.load(os.path.join(path, "shared.npz"))
+    pq = _pq_from(shared, manifest["pq"], "pq_")
+
+    codes_l, labels_l, sizes_l = [], [], []
+    row = lo
+    while row < min(hi, stored):
+        s = row // per
+        s_lo = row - s * per
+        s_hi = min(hi - s * per, per)
+        arr = np.load(os.path.join(path, f"shard_{s:05d}.npz"))
+        codes_l.append(arr["codes"][s_lo:s_hi])
+        labels_l.append(arr["labels"][s_lo:s_hi])
+        sizes_l.append(arr["part_sizes"][s_lo:s_hi])
+        row = s * per + s_hi
+    if not codes_l:  # range entirely in the zero-padding tail
+        arr = np.load(os.path.join(path, "shard_00000.npz"))
+        codes_l.append(arr["codes"][:0])
+        labels_l.append(arr["labels"][:0])
+        sizes_l.append(arr["part_sizes"][:0])
+    codes = np.concatenate(codes_l)
+    labels = np.concatenate(labels_l)
+    sizes = np.concatenate(sizes_l)
+    if hi > stored:
+        extra = hi - max(lo, stored)
+        codes = np.concatenate(
+            [codes, np.zeros((extra, *codes.shape[1:]), codes.dtype)]
+        )
+        labels = np.concatenate(
+            [labels, np.zeros((extra, *labels.shape[1:]), labels.dtype)]
+        )
+        sizes = np.concatenate([sizes, np.zeros((extra,), sizes.dtype)])
+    return (
+        IVFIndex(
+            pq=pq,
+            coarse_centroids=jnp.asarray(shared["coarse_centroids"]),
+            codes=jnp.asarray(codes),
+            labels=jnp.asarray(labels),
+            part_sizes=jnp.asarray(sizes),
+            n=int(manifest["n"]),
+            max_part_size=int(manifest["max_part_size"]),
+        ),
+        manifest,
+    )
+
+
 def load_index(path: str):
     """Load an index saved by save_index."""
     with open(os.path.join(path, "manifest.json")) as f:

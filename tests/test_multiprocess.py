@@ -59,22 +59,11 @@ def built(tmp_path_factory):
     return index, queries, ckpt, qfile, tmp
 
 
-def test_two_process_distributed_matches_single_process(built):
-    index, queries, ckpt, qfile, tmp = built
-
-    # Expected: single-process 4-device mesh on the same index.
-    mesh = make_mesh(4)
-    sharded = shard_ivf_partitions(index, mesh)
-    d_exp, l_exp = search_qadc_ivf_sharded(
-        sharded, queries, r=R, ma=MA, keep=KEEP, mesh=mesh, interpret=True
-    )
-    d_exp, l_exp = np.asarray(d_exp), np.asarray(l_exp)
-
-    port = _free_port()
+def _spawn_workers(ckpt, qfile, tmp, port, tag, progress_dir=None):
     worker = os.path.join(os.path.dirname(__file__), "multiproc_worker.py")
     procs, outs = [], []
     for i in range(2):
-        out = str(tmp / f"out_{i}.npz")
+        out = str(tmp / f"out_{tag}_{i}.npz")
         outs.append(out)
         env = dict(os.environ)
         repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -85,15 +74,22 @@ def test_two_process_distributed_matches_single_process(built):
             QADC_NUM_PROCESSES="2",
             QADC_PROCESS_ID=str(i),
         )
+        argv = [sys.executable, worker, ckpt, qfile, out]
+        if progress_dir is not None:
+            argv.append(str(progress_dir))
         procs.append(
             subprocess.Popen(
-                [sys.executable, worker, ckpt, qfile, out],
+                argv,
                 env=env,
                 stdout=subprocess.PIPE,
                 stderr=subprocess.STDOUT,
                 text=True,
             )
         )
+    return procs, outs
+
+
+def _join_workers(procs):
     logs = []
     for p in procs:
         try:
@@ -106,21 +102,111 @@ def test_two_process_distributed_matches_single_process(built):
     for p, log in zip(procs, logs):
         assert p.returncode == 0, f"worker failed:\n{log[-4000:]}"
 
+
+def _expected(index, queries):
+    mesh = make_mesh(4)
+    sharded = shard_ivf_partitions(index, mesh)
+    d_exp, l_exp = search_qadc_ivf_sharded(
+        sharded, queries, r=R, ma=MA, keep=KEEP, mesh=mesh, interpret=True
+    )
+    return np.asarray(d_exp), np.asarray(l_exp)
+
+
+def test_two_process_distributed_matches_single_process(built):
+    index, queries, ckpt, qfile, tmp = built
+    d_exp, l_exp = _expected(index, queries)
+
+    procs, outs = _spawn_workers(ckpt, qfile, tmp, _free_port(), "eq")
+    _join_workers(procs)
+
     for out in outs:  # every process saw the same replicated global result
         got = np.load(out)
         np.testing.assert_array_equal(got["l"], l_exp)
         np.testing.assert_allclose(got["d"], d_exp, rtol=1e-5, atol=1e-5)
 
 
+def test_reshard_on_load_4_shards_2_processes(built):
+    """A checkpoint written for 4 hosts restarts on 2 processes: each process
+    re-slices two shard files' rows on load (SURVEY §5.3 elastic restart)."""
+    index, queries, ckpt, qfile, tmp = built
+    d_exp, l_exp = _expected(index, queries)
+
+    ckpt4 = str(tmp / "ckpt4")
+    save_index_sharded(ckpt4, index, num_shards=4)
+    procs, outs = _spawn_workers(ckpt4, qfile, tmp, _free_port(), "rs")
+    _join_workers(procs)
+    for out in outs:
+        got = np.load(out)
+        np.testing.assert_array_equal(got["l"], l_exp)
+        np.testing.assert_allclose(got["d"], d_exp, rtol=1e-5, atol=1e-5)
+
+
+def test_kill_and_restart_bitmatches(built):
+    """Failure injection: SIGKILL one worker after its first batch; the
+    restarted group reloads only its shards and the full run bit-matches."""
+    import time
+
+    index, queries, ckpt, _, tmp = built
+    rng = np.random.default_rng(7)
+    q2 = np.stack([queries, queries + rng.normal(size=queries.shape).astype(np.float32) * 0.1])
+    qfile2 = str(tmp / "queries2.npz")
+    np.savez(qfile2, queries=q2, r=R, ma=MA, keep=KEEP)
+    exp = [_expected(index, b) for b in q2]
+    d_exp = np.concatenate([e[0] for e in exp])
+    l_exp = np.concatenate([e[1] for e in exp])
+
+    prog = tmp / "prog"
+    prog.mkdir()
+    procs, _ = _spawn_workers(ckpt, qfile2, tmp, _free_port(), "k1", prog)
+    # Deterministic mid-run point: both processes finished batch 0.
+    deadline = time.time() + 600
+    while not (
+        (prog / "p0_b0.done").exists() and (prog / "p1_b0.done").exists()
+    ):
+        if time.time() > deadline:
+            for p in procs:
+                p.kill()
+            pytest.fail("workers never reached batch 0")
+        for p in procs:
+            assert p.poll() is None or p.returncode == 0, "worker died early"
+        time.sleep(0.2)
+    procs[1].kill()  # exact child PID — simulated host failure mid-run
+    procs[1].wait()
+    # The survivor cannot complete the batch-1 collective alone; tear it down
+    # (a real launcher would do the same once the peer is declared dead).
+    try:
+        procs[0].wait(timeout=30)
+    except subprocess.TimeoutExpired:
+        procs[0].kill()
+        procs[0].wait()
+
+    # Elastic restart: fresh coordinator, same checkpoint, full run.
+    for f in prog.iterdir():
+        f.unlink()
+    procs2, outs2 = _spawn_workers(ckpt, qfile2, tmp, _free_port(), "k2", prog)
+    _join_workers(procs2)
+    for out in outs2:
+        got = np.load(out)
+        np.testing.assert_array_equal(got["l"], l_exp)
+        np.testing.assert_allclose(got["d"], d_exp, rtol=1e-5, atol=1e-5)
+
+
 def test_load_sharded_index_single_process(built):
-    """load_sharded_index's num_shards==process_count validation + the
-    1-process path (shard checkpoint written for 2 shards must be rejected)."""
+    """Single-process load paths: shards == processes (1), and reshard-on-load
+    of a 2-shard checkpoint into one process."""
     from qadc_tpu.dist.sharded_ivf import load_sharded_index
 
-    index, _, ckpt, _, tmp = built
+    index, queries, ckpt, _, tmp = built
     mesh = make_mesh(4)
-    with pytest.raises(ValueError, match="shards"):
-        load_sharded_index(ckpt, mesh)  # 2 shards, 1 process
+
+    # 2 shards, 1 process: resharded on load (previously rejected).
+    loaded2 = load_sharded_index(ckpt, mesh)
+    d_exp, l_exp = _expected(index, queries)
+    d_got, l_got = search_qadc_ivf_sharded(
+        loaded2, queries, r=R, ma=MA, keep=KEEP, mesh=mesh, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(l_got), l_exp)
+    np.testing.assert_allclose(np.asarray(d_got), d_exp, rtol=1e-5, atol=1e-5)
 
     ckpt1 = str(tmp / "ckpt1")
     save_index_sharded(ckpt1, index, num_shards=1)
