@@ -227,7 +227,7 @@ def search_adc(
             lambda qc: _grouped_scan_bytes(
                 qc, ma, index.part_count, index.part_pad, window4, group_size,
                 lanes=(index.pq.sq_count // 2) * 16, val_bytes=4,
-                slab_bytes=4, n_streams=1,
+                slab_bytes=4, n_streams=1, r=r, cb=index.pq.code_size,
             ),
             queries.shape[0], budget,
         )
@@ -811,9 +811,17 @@ SCAN_BUDGET_BYTES = 2 << 30
 def _grouped_scan_bytes(
     q: int, ma: int, part_count: int, part_pad: int, window: int,
     group_size: int, lanes: int, val_bytes: int, slab_bytes: int,
-    n_streams: int,
+    n_streams: int, r: int = 0, cb: int = 0, prefix_pad: int = 0,
 ) -> int:
-    """Estimated transient HBM bytes of one grouped scan call."""
+    """Estimated transient HBM bytes of one grouped scan call.
+
+    With r and cb set, also counts the rerank tail — window_rerank's
+    candidate gathers scale with q*wq and were previously unbudgeted, so a
+    huge r*wq*ma config could OOM despite the governor: per selected window,
+    one (128,) u8 code row, one (cpr,) label row, two (16*cb,) f32 compact
+    table rows, and the (cpr,) rows_adc output. prefix_pad adds the
+    keep-prefix bound scan's row/table gathers (qadc only).
+    """
     qa = q * ma
     from qadc_tpu.index.routing import group_capacity
 
@@ -822,7 +830,16 @@ def _grouped_scan_bytes(
     vals = gcap * group_size * c * val_bytes * n_streams
     gathered = qa * c * 4 * n_streams
     slabs = 2 * gcap * lanes * group_size * slab_bytes
-    return vals + gathered + slabs
+    total = vals + gathered + slabs
+    if r and cb:
+        cpr = 128 // cb
+        table_row = 2 * 16 * cb * 4
+        a = q * min(2 * r, ma * c)          # selected windows
+        total += a * (128 + cpr * 4 + table_row + cpr * 4)
+        if prefix_pad:
+            pre = qa * (-(-prefix_pad // cpr))  # prefix rows scanned
+            total += pre * (128 + table_row + cpr * 4)
+    return total
 
 
 def _governed_query_chunk(bytes_fn, q: int, budget: int) -> int:
@@ -1262,6 +1279,7 @@ def search_qadc(
             lambda qc: _grouped_scan_bytes(
                 qc, ma, index.part_count, index.part_pad, grouped_window,
                 group_size, lanes, val_bytes=4, slab_bytes=1, n_streams=1,
+                r=r, cb=index.pq.code_size, prefix_pad=prefix_pad,
             ),
             queries.shape[0],
             SCAN_BUDGET_BYTES if scan_budget_bytes is None else scan_budget_bytes,

@@ -218,3 +218,42 @@ def test_scan_budget_governor_chunks_queries(built):
     assert _governed_query_chunk(bytes_fn, 32, 1_000_000) == 32
     assert _governed_query_chunk(bytes_fn, 32, 8_000) == 8
     assert _governed_query_chunk(bytes_fn, 32, 10) == 1
+
+
+def test_governor_budgets_rerank_tail(built):
+    """The governor must count window_rerank's candidate gathers: a config
+    whose SCAN transients fit the budget but whose r*wq*ma rerank tail does
+    not must still chunk (previously it could OOM at runtime), with results
+    identical to the unchunked run."""
+    index, queries, gt = built
+    from qadc_tpu.index.ivf import _grouped_scan_bytes, _governed_query_chunk
+
+    geo = dict(
+        ma=6, part_count=index.part_count, part_pad=index.part_pad,
+        window=min(128 // (index.pq.sq_count // 2), 16), group_size=128,
+        lanes=(index.pq.sq_count // 2) * 16, val_bytes=4, slab_bytes=1,
+        n_streams=1,
+    )
+    q = len(queries)
+    scan_only = _grouped_scan_bytes(q, **geo)
+    big_r = 512  # pathological rerank volume: wq = 2r windows/query
+    with_tail = _grouped_scan_bytes(
+        q, **geo, r=big_r, cb=index.pq.code_size, prefix_pad=index.part_pad
+    )
+    assert with_tail > scan_only
+    # Budget sized between the two: scan alone fits, scan+tail must chunk.
+    budget = (scan_only + with_tail) // 2
+    assert _governed_query_chunk(
+        lambda qc: _grouped_scan_bytes(
+            qc, **geo, r=big_r, cb=index.pq.code_size, prefix_pad=index.part_pad
+        ), q, budget,
+    ) < q
+
+    # E2E: the chunked pathological config returns the same results.
+    kw = dict(r=64, ma=6, keep=0.5, grouped=True, interpret=True, rerank=True)
+    d1, l1 = ivf.search_qadc(index, queries, **kw)
+    d2, l2 = ivf.search_qadc(index, queries, scan_budget_bytes=1 << 20, **kw)
+    np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+    # Chunking changes XLA's GEMM reduction order in the table build, so
+    # float distances agree to rounding, not bit-exactly.
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), rtol=1e-5)
