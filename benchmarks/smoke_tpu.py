@@ -220,11 +220,208 @@ def main():
             lambda: flat_mod.search_qadc(fidx, qs, r=50, keep=0.01),
         )
 
+    failures += contracts()
+
     if failures:
         print(f"\n{len(failures)} FAILURES: {failures}", file=sys.stderr)
         return 1
     print("\nALL TPU SMOKE CONFIGS OK")
     return 0
+
+
+def _np_ivf_adc_oracle(queries, parts, coarse, cents, codes_u, labels, sizes, r):
+    """NumPy exact float-ADC IVF oracle (independent of every JAX lowering).
+
+    parts: (Q, ma) partition ids to probe (taken from the path under test so
+    the contract isolates table+scan+selection, not assignment GEMM rounding).
+    codes_u: (P, part_pad, M) unpacked centroid indices; labels (P, part_pad).
+    Returns (dists (Q, r), labels (Q, r)) ranked ascending, np.float32 math.
+    """
+    q, ma = parts.shape
+    m, k, dsq = cents.shape
+    out_d, out_l = [], []
+    for qi in range(q):
+        cand_d, cand_l = [], []
+        for a in range(ma):
+            p = int(parts[qi, a])
+            res = queries[qi] - coarse[p]
+            sub = res.reshape(m, dsq)
+            tab = ((sub[:, None, :] - cents) ** 2).sum(-1)  # (M, 16)
+            n_p = int(sizes[p])
+            if n_p == 0:
+                continue
+            idx = codes_u[p, :n_p]                          # (n_p, M)
+            cand_d.append(tab[np.arange(m)[None, :], idx].sum(-1))
+            cand_l.append(labels[p, :n_p])
+        cd = np.concatenate(cand_d)
+        cl = np.concatenate(cand_l)
+        order = np.argsort(cd, kind="stable")[:r]
+        out_d.append(cd[order])
+        out_l.append(cl[order])
+    return np.stack(out_d).astype(np.float32), np.stack(out_l)
+
+
+def _tie_aware_labels_equal(d_ref, l_ref, l_got, tol):
+    """Exact label match, except inside ref tie-groups (consecutive distances
+    within tol) where order is unspecified: compare those as sets. The
+    trailing group is skipped (its ties extend past rank r, so membership
+    there is legitimately implementation-defined)."""
+    q, r = d_ref.shape
+    for qi in range(q):
+        i = 0
+        while i < r:
+            j = i + 1
+            while j < r and d_ref[qi, j] - d_ref[qi, j - 1] <= tol:
+                j += 1
+            if j >= r:
+                break  # trailing (possibly truncated) tie-group
+            if set(l_ref[qi, i:j].tolist()) != set(l_got[qi, i:j].tolist()):
+                return False, (qi, i, j)
+            i = j
+    return True, None
+
+
+def contracts():
+    """Ranking-integrity contracts on real silicon.
+
+    The CPU suite proves these in interpret mode; Mosaic is a different
+    compiler (round-2/3 examples: layout rejections, bf16 matmul defaults),
+    so each exactness contract the library documents is re-asserted here
+    end-to-end on hardware vs an independent NumPy oracle or vs the
+    interpret-mode lowering of the same pipeline:
+      - 4-bit conventional ADC = exact top-r (reference db_query.cpp
+        semantics, grouped Pallas kernel path);
+      - direct path = exact float ranking (depends on Mosaic honoring
+        Precision.HIGHEST in the fused compact_out selector matmul);
+      - saturating int8 semantics bit-match (simd_scan.hpp:161 analog);
+      - grouped qadc pipeline hardware == interpret;
+      - bf16 candidate screen moves recall by <= 0.002 (QADC_BF16_SCREEN A/B).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from qadc_tpu.core.layout import from_row128
+    from qadc_tpu.core.packing import unpack_codes
+    from qadc_tpu.index import ivf as ivf_mod
+    from qadc_tpu.ops.knn import assign_nearest, exact_knn
+    from qadc_tpu.quantizers.pq import train_pq
+
+    print("\n=== ranking-integrity contracts ===", flush=True)
+    failures = []
+
+    def contract(name, fn):
+        try:
+            detail = fn()
+            print(f"CONTRACT ok   {name}{'' if not detail else '  ' + detail}",
+                  flush=True)
+        except Exception as e:  # noqa: BLE001 — report every broken contract
+            failures.append(f"contract:{name}")
+            print(f"CONTRACT FAIL {name}: {str(e).splitlines()[0][:160]}",
+                  flush=True)
+
+    # Trained small-but-real index: clustered data so IVF assignment and the
+    # keep-prefix bound behave like production, not like uniform noise.
+    rng = np.random.default_rng(11)
+    dim, n, parts_n, m, nq = 64, 30000, 32, 16, 64
+    centers = rng.normal(scale=2.0, size=(48, dim)).astype(np.float32)
+    base = (centers[rng.integers(0, 48, n)]
+            + rng.normal(size=(n, dim)).astype(np.float32) * 0.7)
+    queries = (centers[rng.integers(0, 48, nq)]
+               + rng.normal(size=(nq, dim)).astype(np.float32) * 0.7)
+    coarse = ivf_mod.train_coarse(jax.random.PRNGKey(0), base[:10000], parts_n,
+                                  iters=6)
+    a0 = np.asarray(assign_nearest(base[:10000], coarse))
+    pq = train_pq(jax.random.PRNGKey(1),
+                  base[:10000] - np.asarray(coarse)[a0], m, 4, iters=6)
+    index = ivf_mod.add(ivf_mod.IVFIndex.create(pq, coarse), base)
+    qs = jnp.asarray(queries)
+    r, ma = 100, 8
+
+    # NumPy copies for the oracle.
+    coarse_np = np.asarray(index.coarse_centroids)
+    cents_np = np.asarray(index.pq.centroids)
+    sizes_np = np.asarray(index.part_sizes)
+    labels_np = np.asarray(index.labels)
+    part_pad = index.part_pad
+    packed = np.asarray(
+        from_row128(np.asarray(index.codes).reshape(-1, 128), index.pq.code_size)
+    ).reshape(parts_n, part_pad, index.pq.code_size)
+    codes_u = np.asarray(unpack_codes(packed, m, 4))  # (P, pad, M)
+    parts_probe, _ = ivf_mod.assign_queries(index, qs, ma)
+    parts_probe = np.asarray(parts_probe)
+    d_orc, l_orc = _np_ivf_adc_oracle(
+        queries, parts_probe, coarse_np, cents_np, codes_u, labels_np,
+        sizes_np, r,
+    )
+    tie_tol = 1e-3
+
+    def c_adc4_exact():
+        d, l = ivf_mod.search_adc(index, qs, r=r, ma=ma)
+        d, l = np.asarray(d), np.asarray(l)
+        np.testing.assert_allclose(d, d_orc, rtol=2e-4, atol=1e-3)
+        ok, where = _tie_aware_labels_equal(d_orc, l_orc, l, tie_tol)
+        assert ok, f"label mismatch outside tie-groups at {where}"
+        return f"max|dd|={np.abs(d - d_orc).max():.2e}"
+
+    def c_direct_exact():
+        d, l = ivf_mod.search_qadc(index, qs, r=r, ma=ma, direct=True)
+        d, l = np.asarray(d), np.asarray(l)
+        np.testing.assert_allclose(d, d_orc, rtol=2e-4, atol=1e-3)
+        ok, where = _tie_aware_labels_equal(d_orc, l_orc, l, tie_tol)
+        assert ok, f"label mismatch outside tie-groups at {where}"
+        return f"max|dd|={np.abs(d - d_orc).max():.2e} (Mosaic HIGHEST holds)"
+
+    def c_qadc_hw_vs_interpret():
+        kw = dict(r=r, ma=ma, keep=0.02, direct=False, rerank=True)
+        d_hw, l_hw = ivf_mod.search_qadc(index, qs, **kw)
+        d_it, l_it = ivf_mod.search_qadc(index, qs, interpret=True, **kw)
+        d_hw, l_hw = np.asarray(d_hw), np.asarray(l_hw)
+        d_it, l_it = np.asarray(d_it), np.asarray(l_it)
+        np.testing.assert_allclose(d_hw, d_it, rtol=1e-5, atol=1e-4)
+        ok, where = _tie_aware_labels_equal(d_it, l_it, l_hw, tie_tol)
+        assert ok, f"label mismatch outside tie-groups at {where}"
+        return f"max|dd|={np.abs(d_hw - d_it).max():.2e}"
+
+    def c_saturate_bitmatch():
+        kw = dict(r=r, ma=ma, keep=0.02, direct=False, rerank=False,
+                  saturate=True)
+        d_hw, l_hw = ivf_mod.search_qadc(index, qs, **kw)
+        d_it, l_it = ivf_mod.search_qadc(index, qs, interpret=True, **kw)
+        d_hw, d_it = np.asarray(d_hw), np.asarray(d_it)
+        # Quantized distances are exact integers; silicon must bit-match the
+        # interpreter, and every label's distance must be the reported one.
+        np.testing.assert_array_equal(d_hw, d_it)
+        ok, where = _tie_aware_labels_equal(d_it, np.asarray(l_it),
+                                            np.asarray(l_hw), 0.0)
+        assert ok, f"label mismatch outside int tie-groups at {where}"
+        assert (d_hw == np.round(d_hw)).all(), "non-integer quantized distance"
+        return "int8 ranking bit-matches interpret"
+
+    def c_bf16_screen_ab():
+        gt = np.asarray(exact_knn(qs, jnp.asarray(base), 1)[1])[:, 0]
+        kw = dict(r=r, ma=ma, keep=0.02, direct=False, rerank=True)
+
+        def recall(env):
+            os.environ["QADC_BF16_SCREEN"] = env
+            jax.clear_caches()  # env is read at trace time
+            _, l = ivf_mod.search_qadc(index, qs, **kw)
+            l = np.asarray(l)
+            return float(np.mean([gt[i] in l[i] for i in range(nq)]))
+
+        try:
+            r_on, r_off = recall("1"), recall("0")
+        finally:
+            os.environ.pop("QADC_BF16_SCREEN", None)
+            jax.clear_caches()
+        assert abs(r_on - r_off) <= 0.002, f"bf16 screen moved recall: {r_on} vs {r_off}"
+        return f"recall@{r}: bf16={r_on:.4f} f32={r_off:.4f}"
+
+    contract("adc4_grouped_exact_topr_vs_numpy_oracle", c_adc4_exact)
+    contract("direct_path_exact_ranking_vs_numpy_oracle", c_direct_exact)
+    contract("qadc_grouped_hw_vs_interpret", c_qadc_hw_vs_interpret)
+    contract("saturate_int8_hw_bitmatch", c_saturate_bitmatch)
+    contract("bf16_screen_recall_ab", c_bf16_screen_ab)
+    return failures
 
 
 if __name__ == "__main__":
