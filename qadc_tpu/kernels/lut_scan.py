@@ -46,6 +46,16 @@ MAX_BLOCK_N = 8192       # measured best on v5e (fewer grid steps, same VMEM fit
 DEFAULT_WINDOW = 16
 
 
+def _transposed_block_legal(minor: int, full_minor: int) -> bool:
+    """Mosaic accepts an output block only when its minor dim is a multiple
+    of 128 or the FULL array dimension (lowering _check_block_mappings; the
+    interpret path accepts anything, which is how the transposed layouts
+    shipped broken — caught by benchmarks/smoke_tpu.py on silicon). Callers
+    fall back to the natural layout + an XLA transpose when this is False:
+    correct everywhere, fused where legal."""
+    return minor % 128 == 0 or minor == full_minor
+
+
 def pick_block_n(n_pad: int, cap: int = MAX_BLOCK_N) -> int:
     """Largest power-of-two block <= cap dividing n_pad (>= DEFAULT_BLOCK_N).
 
@@ -338,11 +348,14 @@ def lut_scan_reduce(
         transcendentals=0,
     )
     if not with_rows:
+        # Fused transposed output only where the (qp, g) block lowers; at
+        # other shapes emit the natural layout and transpose in XLA.
+        fuse_t = transpose_out and _transposed_block_legal(g, n_pad // window)
         kernel = functools.partial(
             _scan_min_kernel, window=window, acc_dtype=acc_dtype, cb=cb,
-            accfn=accfn, transpose_out=transpose_out,
+            accfn=accfn, transpose_out=fuse_t,
         )
-        if transpose_out:
+        if fuse_t:
             out_specs = pl.BlockSpec(
                 (qp, g), lambda i: (0, i), memory_space=pltpu.VMEM
             )
@@ -361,6 +374,8 @@ def lut_scan_reduce(
             interpret=interpret,
             cost_estimate=cost,
         )(codes_rows, tables_lo, tables_hi, jpat, e)
+        if transpose_out and not fuse_t:
+            vals = vals.T
         return vals, None
 
     kernel = functools.partial(
@@ -580,9 +595,15 @@ def lut_scan_grouped_prefetch(
         _TRIM_SENTINEL_I32 if acc_dtype == jnp.int32 else jnp.inf
     )
 
+    # Fused slot-major output only where the (gq, g) block lowers (g a
+    # multiple of 128, or a single-block group so g is the full minor dim);
+    # at other shapes fall back to the natural layout + an XLA transpose.
+    fuse_t = transpose_out and _transposed_block_legal(
+        g, rows_per_group // window
+    )
     body = functools.partial(
         _grouped_scan_kernel, window=window, acc_dtype=acc_dtype, cb=cb,
-        transpose_out=transpose_out,
+        transpose_out=fuse_t,
     )
 
     def kernel(gp_ref, gnb_ref, *rest):  # scalar-prefetch refs arrive first
@@ -607,7 +628,7 @@ def lut_scan_grouped_prefetch(
             0,
         )
 
-    if transpose_out:
+    if fuse_t:
         out_specs = pl.BlockSpec(
             (gq, g), lambda i, gp, gnb: (i // nblocks, i % nblocks)
         )
@@ -642,6 +663,11 @@ def lut_scan_grouped_prefetch(
             transcendentals=0,
         ),
     )(group_part, group_nblk, codes_rows, tables_lo, tables_hi, jpat, e)
+    if transpose_out and not fuse_t:
+        c = rows_per_group // window
+        vals = (
+            vals.reshape(gcap, c, gq).transpose(0, 2, 1).reshape(gcap * gq, c)
+        )
     return vals
 
 
@@ -1057,10 +1083,14 @@ def lut_scan8_reduce(
     e = jnp.asarray(e_np, jnp.bfloat16)
     jpat = jnp.asarray(jpat_np)
 
+    # Fused transposed output only where the (qp, g) block lowers; at other
+    # shapes emit the natural layout and transpose in XLA (see
+    # _transposed_block_legal).
+    fuse_t = transpose_out and _transposed_block_legal(g, n_pad // window)
     kernel = functools.partial(
-        _scan8_kernel, window=window, m=m, transpose_out=transpose_out
+        _scan8_kernel, window=window, m=m, transpose_out=fuse_t
     )
-    if transpose_out:
+    if fuse_t:
         out_specs = [
             pl.BlockSpec((qp, g), lambda i: (0, i), memory_space=pltpu.VMEM)
             for _ in range(2)
@@ -1096,6 +1126,8 @@ def lut_scan8_reduce(
             transcendentals=0,
         ),
     )(codes_rows, tables, jpat, e)
+    if transpose_out and not fuse_t:
+        vals, slots = vals.T, slots.T
     return vals, slots_to_rows(slots, block_n, m)
 
 
@@ -1197,6 +1229,13 @@ def lut_scan8_grouped_prefetch(
     if group_nblk is None:
         group_nblk = jnp.full((gcap,), nblocks, jnp.int32)
 
+    # Fused slot-major output only where the (gq, g) block lowers; at other
+    # shapes fall back to the natural layout + an XLA transpose (see
+    # _transposed_block_legal).
+    fuse_t = transpose_out and _transposed_block_legal(
+        g, rows_per_group // window
+    )
+
     def kernel(gp_ref, gnb_ref, *rest):  # scalar-prefetch refs arrive first
         i = pl.program_id(0)
         live = (i % nblocks) < gnb_ref[i // nblocks]
@@ -1206,7 +1245,7 @@ def lut_scan8_grouped_prefetch(
         def _():
             _grouped_scan8_kernel(
                 *rest, window=window, m=m, base=base,
-                transpose_out=transpose_out,
+                transpose_out=fuse_t,
             )
 
         @pl.when(jnp.logical_not(live))
@@ -1224,7 +1263,7 @@ def lut_scan8_grouped_prefetch(
             0,
         )
 
-    if transpose_out:
+    if fuse_t:
         out_specs = [
             pl.BlockSpec((gq, g), lambda i, gp, gnb: (i // nblocks, i % nblocks))
             for _ in range(2)
@@ -1252,7 +1291,7 @@ def lut_scan8_grouped_prefetch(
         ],
         out_specs=out_specs,
     )
-    return pl.pallas_call(
+    vals, slots = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=out_shape,
@@ -1263,6 +1302,13 @@ def lut_scan8_grouped_prefetch(
             transcendentals=0,
         ),
     )(group_part, group_nblk, codes_rows, tables_g, jpat, e)
+    if transpose_out and not fuse_t:
+        c = rows_per_group // window
+        vals, slots = (
+            x.reshape(gcap, c, gq).transpose(0, 2, 1).reshape(gcap * gq, c)
+            for x in (vals, slots)
+        )
+    return vals, slots
 
 
 @functools.partial(
