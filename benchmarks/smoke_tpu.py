@@ -87,6 +87,26 @@ def main():
             f"rows_adc_grouped_prefetch cb={cb}",
             lambda: rows_adc_grouped_prefetch(pcodes, gp, tl, th, rpp, cb=cb),
         )
+        check(
+            f"rows_adc_grouped_prefetch cb={cb} compact_out",
+            lambda: rows_adc_grouped_prefetch(
+                pcodes, gp, tl, th, rpp, cb=cb, compact_out=True
+            ),
+        )
+        # Partition size whose block unit (gcd(512, rpp)) is neither a
+        # multiple of 128 nor the whole partition: the fused compact write is
+        # illegal there and must take the XLA-matmul fallback (this exact
+        # geometry crashed the direct path before the fallback existed).
+        rpp_odd = 96
+        pcodes_odd = jnp.asarray(
+            rng.integers(0, 256, size=(8 * rpp_odd, 128), dtype=np.uint8)
+        )
+        check(
+            f"rows_adc_grouped_prefetch cb={cb} compact_out rpp=96",
+            lambda: rows_adc_grouped_prefetch(
+                pcodes_odd, gp, tl, th, rpp_odd, cb=cb, compact_out=True
+            ),
+        )
         rows = jnp.asarray(rng.integers(0, 256, size=(512, 128), dtype=np.uint8))
         tlr = jnp.asarray(rng.normal(size=(512, lanes)).astype(np.float32))
         check(

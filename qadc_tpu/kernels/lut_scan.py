@@ -901,7 +901,12 @@ def rows_adc_grouped_prefetch(
         for h in range(h_count)
     ]
     cpr = 128 // cb
-    if compact_out:
+    # The fused (cpr, blk) compact block lowers only when blk is a multiple
+    # of 128 or the whole partition (see _transposed_block_legal); elsewhere
+    # emit lane sums and do the selector reduction as an XLA HIGHEST matmul
+    # (measured f32-exact in-kernel AND in XLA — benchmarks/diag_direct.py).
+    fuse_c = compact_out and _transposed_block_legal(blk, rows_per_part)
+    if fuse_c:
         body = functools.partial(_rows_adc_group_compact_kernel, cb=cb, cpr=cpr)
     else:
         body = functools.partial(_rows_adc_group_kernel, cb=cb)
@@ -937,7 +942,7 @@ def rows_adc_grouped_prefetch(
         for _ in range(2 * h_count)
     ]
     operands = [group_part, group_nblk, codes_rows, *halves]
-    if compact_out:
+    if fuse_c:
         # 0/1 selector, 128 lanes (only the first cpr columns live): the
         # fused reduction matmul needs full-lane operands.
         smat = jnp.zeros((128, 128), jnp.float32).at[
@@ -960,7 +965,7 @@ def rows_adc_grouped_prefetch(
         in_specs=in_specs,
         out_specs=out_specs,
     )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=out_shape,
@@ -971,6 +976,18 @@ def rows_adc_grouped_prefetch(
             transcendentals=0,
         ),
     )(*operands)
+    if compact_out and not fuse_c:
+        smat = jnp.asarray(
+            (np.arange(128)[:, None] // cb) == np.arange(cpr)[None, :],
+            jnp.float32,
+        )
+        d = jnp.dot(out, smat, precision=jax.lax.Precision.HIGHEST)
+        out = (
+            d.reshape(gcap, rows_per_part, cpr)
+            .transpose(0, 2, 1)
+            .reshape(gcap * cpr, rows_per_part)
+        )
+    return out
 
 
 def window_slots(window_ids, block_n: int, window: int):

@@ -112,6 +112,46 @@ def topk_smallest(dists, labels, k: int):
     return -top, jnp.take_along_axis(labels, idx, axis=-1)
 
 
+def exact_screen_smallest(vals, k: int):
+    """EXACT k-smallest + argmin indices along the last axis, sort-cascade.
+
+    jax.lax.approx_min_k is a per-segment min reduction: it never loses the
+    global minimum, but at (Q, 25k-200k) widths it captures only ~99% of the
+    true top-100 (measured on v5e, benchmarks/diag_direct.py) — fine for a
+    screened+reranked pipeline, a contract violation for the direct path's
+    exact ranking. This keeps the per-chunk top-k via stable variadic sorts
+    (rows <= SORT_TOPK_MAX_C, where a sort beats the K-dominated TopK custom
+    call — see topk_smallest) and recurses on the per-chunk survivors: exact
+    because a global top-k member is a top-k member of its chunk. Ties break
+    by lower index (stable sorts over index-ordered chunks), matching
+    lax.top_k.
+
+    Returns (vals (..., k) ascending, idx (..., k) int32).
+    """
+    lead = vals.shape[:-1]
+    w = vals.shape[-1]
+    v = jnp.asarray(vals, jnp.float32).reshape(-1, w)
+    q = v.shape[0]
+    idx = jnp.broadcast_to(jnp.arange(w, dtype=jnp.int32), (q, w))
+    c = max(SORT_TOPK_MAX_C, k)
+    while v.shape[1] > c:
+        w = v.shape[1]
+        s = -(-w // c)
+        kk = min(k, c)
+        if s * kk >= w:  # chunking would not shrink: final sort handles it
+            break
+        if s * c != w:
+            v = jnp.pad(v, [(0, 0), (0, s * c - w)], constant_values=jnp.inf)
+            idx = jnp.pad(idx, [(0, 0), (0, s * c - w)])
+        v = v.reshape(q * s, c)
+        idx = idx.reshape(q * s, c)
+        v, idx = jax.lax.sort((v, idx), dimension=-1, num_keys=1, is_stable=True)
+        v = v[:, :kk].reshape(q, s * kk)
+        idx = idx[:, :kk].reshape(q, s * kk)
+    v, idx = jax.lax.sort((v, idx), dimension=-1, num_keys=1, is_stable=True)
+    return v[:, :k].reshape(*lead, k), idx[:, :k].reshape(*lead, k)
+
+
 def merge_topk(vals_a, labels_a, vals_b, labels_b, k: int):
     """Merge two per-query candidate sets into the k smallest."""
     vals = jnp.concatenate([vals_a, vals_b], axis=-1)

@@ -139,3 +139,23 @@ def test_topk_smallest_sort_path_matches_topk():
         np.testing.assert_array_equal(
             np.asarray(sl), np.asarray(jnp.take_along_axis(lab, idx, axis=-1))
         )
+
+
+def test_exact_screen_smallest_matches_topk():
+    """The sort-cascade screen must be EXACT — identical values AND indices
+    (tie order: lower index first) to lax.top_k at every width class: below
+    the chunk size, one chunk level, several levels, non-dividing widths."""
+    import jax
+    import jax.numpy as jnp
+
+    from qadc_tpu.ops.topk import exact_screen_smallest
+
+    rng = np.random.default_rng(4)
+    for q, c, k in [(3, 700, 100), (2, 1024, 200), (2, 5000, 100),
+                    (1, 24576, 200), (2, 196608, 200), (4, 3000, 7)]:
+        # integer-valued floats force heavy ties — the hard case for order
+        d = jnp.asarray(rng.integers(0, 97, size=(q, c)).astype(np.float32))
+        sv, si = exact_screen_smallest(d, k)
+        top, ti = jax.lax.top_k(-d, k)
+        np.testing.assert_array_equal(np.asarray(sv), np.asarray(-top))
+        np.testing.assert_array_equal(np.asarray(si), np.asarray(ti))
