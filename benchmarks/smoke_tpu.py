@@ -311,8 +311,10 @@ def contracts():
     interpret-mode lowering of the same pipeline:
       - 4-bit conventional ADC = exact top-r (reference db_query.cpp
         semantics, grouped Pallas kernel path);
-      - direct path = exact float ranking (depends on Mosaic honoring
-        Precision.HIGHEST in the fused compact_out selector matmul);
+      - direct path exact=True = oracle-exact float ranking (sort-cascade
+        screen; the compact_out HIGHEST matmul measured f32-exact);
+      - direct path default = exact VALUES, exact rank-1, >=98% deep-rank
+        capture (segment-min screen; see diag_direct.py);
       - saturating int8 semantics bit-match (simd_scan.hpp:161 analog);
       - grouped qadc pipeline hardware == interpret;
       - bf16 candidate screen moves recall by <= 0.002 (QADC_BF16_SCREEN A/B).
@@ -384,12 +386,41 @@ def contracts():
         return f"max|dd|={np.abs(d - d_orc).max():.2e}"
 
     def c_direct_exact():
-        d, l = ivf_mod.search_qadc(index, qs, r=r, ma=ma, direct=True)
+        d, l = ivf_mod.search_qadc(index, qs, r=r, ma=ma, direct=True,
+                                   exact=True)
         d, l = np.asarray(d), np.asarray(l)
         np.testing.assert_allclose(d, d_orc, rtol=2e-4, atol=1e-3)
         ok, where = _tie_aware_labels_equal(d_orc, l_orc, l, tie_tol)
         assert ok, f"label mismatch outside tie-groups at {where}"
         return f"max|dd|={np.abs(d - d_orc).max():.2e} (Mosaic HIGHEST holds)"
+
+    def c_direct_default_guarantees():
+        # Default direct screen is a segment-min reduction: it never loses
+        # the global minimum and keeps ~99% of deep ranks (diag_direct.py).
+        # Contract: (a) the true nearest is rank-1 with the oracle's
+        # distance; (b) every returned distance is that label's EXACT float
+        # ADC distance (no value approximation anywhere); (c) >= 98% of the
+        # oracle top-r is captured.
+        d, l = ivf_mod.search_qadc(index, qs, r=r, ma=ma, direct=True)
+        d, l = np.asarray(d), np.asarray(l)
+        np.testing.assert_allclose(d[:, 0], d_orc[:, 0], rtol=2e-4, atol=1e-3)
+        assert (l[:, 0] == l_orc[:, 0]).mean() > 0.97, "rank-1 label drift"
+        # exact-value check: look up each returned label's oracle distance
+        lab2d = {}
+        for qi in range(nq):
+            lab2d.clear()
+            lab2d.update(zip(l_orc[qi].tolist(), d_orc[qi].tolist()))
+            got = [(dv, lv) for dv, lv in zip(d[qi], l[qi])
+                   if lv in lab2d and np.isfinite(dv)]
+            for dv, lv in got:
+                assert abs(dv - lab2d[lv]) <= 1e-3 + 2e-4 * abs(dv), (
+                    f"returned distance not exact for label {lv}")
+        cap = np.mean([
+            len(set(l[i].tolist()) & set(l_orc[i].tolist())) / r
+            for i in range(nq)
+        ])
+        assert cap >= 0.98, f"top-{r} capture {cap:.4f} < 0.98"
+        return f"NN exact; values exact; top-{r} capture {cap:.4f}"
 
     def c_qadc_hw_vs_interpret():
         kw = dict(r=r, ma=ma, keep=0.02, direct=False, rerank=True)
@@ -437,7 +468,8 @@ def contracts():
         return f"recall@{r}: bf16={r_on:.4f} f32={r_off:.4f}"
 
     contract("adc4_grouped_exact_topr_vs_numpy_oracle", c_adc4_exact)
-    contract("direct_path_exact_ranking_vs_numpy_oracle", c_direct_exact)
+    contract("direct_path_exact_mode_vs_numpy_oracle", c_direct_exact)
+    contract("direct_path_default_screen_guarantees", c_direct_default_guarantees)
     contract("qadc_grouped_hw_vs_interpret", c_qadc_hw_vs_interpret)
     contract("saturate_int8_hw_bitmatch", c_saturate_bitmatch)
     contract("bf16_screen_recall_ab", c_bf16_screen_ab)

@@ -867,9 +867,10 @@ def _run_query_chunks(search_one, queries, chunk: int):
     return jnp.concatenate(out_d), jnp.concatenate(out_l)
 
 
-@partial(jax.jit, static_argnames=("r", "ma", "interpret"))
+@partial(jax.jit, static_argnames=("r", "ma", "interpret", "exact"))
 def _search_qadc_direct_impl(
     index: IVFIndex, queries, r: int, ma: int, interpret: bool = False,
+    exact: bool = False,
 ):
     """Small-batch low-latency path: EXACT float ADC over all probed codes.
 
@@ -878,12 +879,15 @@ def _search_qadc_direct_impl(
     TPU the screened pipeline's ~10 stages cost ~200 us of fixed launch
     latency at b=1. This path is 3 device stages: assign+tables, one
     rows_adc Pallas scan of the ma probed partitions (each row ranked with
-    its own pair's float table), then approx_min_k screening of 2r
-    candidates + exact ranking (screen_smallest is the same PartialReduce
-    approximation the grouped path uses for window selection; a single-row
-    EXACT top-k costs 68 us on v5e — measured K-dominated, see
-    ops/topk.topk_smallest). Distances are exact float ADC; only the final
-    candidate screen is approximate.
+    its own pair's float table), then candidate screening + exact ranking.
+
+    Distance VALUES are exact float ADC everywhere. The default screen is
+    approx_min_k's segment-min reduction: it NEVER drops the global minimum
+    (so recall@R with t=1 semantics is unaffected) and captures ~99% of the
+    true top-100 at these widths (measured, benchmarks/diag_direct.py);
+    deep ranks can differ from the oracle. exact=True screens with the
+    sort cascade (ops.topk.exact_screen_smallest) instead: ORACLE-EXACT
+    top-r ranking, +~30-60 us at b=1 (benchmarks/ab_screen.py).
     """
     parts, rot = assign_queries(index, queries, ma)
     tables = adc_tables(rot, index.pq.centroids)         # (Q, ma, M, 16)
@@ -898,13 +902,18 @@ def _search_qadc_direct_impl(
     if jax.default_backend() == "tpu" or interpret:
         # Scan partitions in place (scalar-prefetch) — no row/table gathers.
         # Blocks past each partition's real size are trimmed (ragged skew
-        # control; block unit here is ROWS of gcd(512, rpp)). compact_out
-        # fuses the per-code selector reduction into the kernel epilogue:
-        # the (QA*rpp, 128) lane-sum round trip through HBM and its separate
+        # control; block unit = rows_adc_block_rows(rpp), measured 256 on
+        # v5e — a coarser unit made nblocks==1 at SIFT geometry and the
+        # padding untrimmable, benchmarks/ab_b1.py). compact_out fuses the
+        # per-code selector reduction into the kernel epilogue: the
+        # (QA*rpp, 128) lane-sum round trip through HBM and its separate
         # XLA matmul stage disappear (output shrinks 128/cpr-fold).
-        from qadc_tpu.kernels.lut_scan import rows_adc_grouped_prefetch
+        from qadc_tpu.kernels.lut_scan import (
+            rows_adc_block_rows,
+            rows_adc_grouped_prefetch,
+        )
 
-        blk_rows = math.gcd(512, rpp)
+        blk_rows = rows_adc_block_rows(rpp)
         sz_rows = -(-index.part_sizes[pflat] // cpr)      # rows with real codes
         d = rows_adc_grouped_prefetch(
             index.codes.reshape(-1, 128), pflat, tlo, thi, rpp, cb=cb,
@@ -937,14 +946,20 @@ def _search_qadc_direct_impl(
     big = jnp.float32(3.0e38)
     d = jnp.where(valid, d, big)
     wq = min(2 * r, d.shape[1])
-    # On TPU, screen on bf16 (halves the approx_min_k input bytes); rank the
-    # wq survivors on their exact f32 values. bf16 rounding can only swap
-    # near-ties across the screen boundary, absorbed by wq = 2r + the exact
-    # final top-k. Off-TPU the screen is an exact top_k — keep f32 so the
-    # direct path stays bit-exact vs search_adc there.
-    from qadc_tpu.ops.topk import bf16_screen
+    # Screen on f32, NOT bf16: this path ranks by exact float distances, and
+    # bf16 rounding collapses them into ~0.4%-wide plateaus — the wq boundary
+    # then cuts arbitrarily through a tie-plateau that contains true top-r
+    # members (measured: top-100 capture 0.86 with a bf16 screen vs 1.00 with
+    # f32 on clustered data, benchmarks/diag_screen_capture.py). The f32
+    # reduce costs only 2x the screen's input bytes (~0.4 MB at b=1). The
+    # grouped pipeline keeps its bf16 screen: its window minima are already
+    # int8-quantized, so bf16 adds nothing there (recall A/B in smoke).
+    from qadc_tpu.ops.topk import exact_screen_smallest
 
-    _, si = screen_smallest(bf16_screen(d), wq)
+    if exact:
+        _, si = exact_screen_smallest(d, wq)
+    else:
+        _, si = screen_smallest(d, wq)
     sv = jnp.take_along_axis(d, si, axis=-1)              # (Q, wq) tiny gather
     # Labels for the wq winners only (the up-front (Q, ma*part_pad) label
     # gather + take_along was ~14 us of the b=1 budget): column j belongs to
@@ -1216,7 +1231,7 @@ def search_qadc(
     rerank: bool = True, grouped: bool | None = None, group_size: int = 128,
     grouped_window: int | None = None, interpret: bool = False,
     saturate: bool = False, direct: bool | None = None,
-    scan_budget_bytes: int | None = None,
+    scan_budget_bytes: int | None = None, exact: bool = False,
 ):
     """Quick-ADC IVF search (reference: db_query_4.cpp; requires sq_bits==4).
 
@@ -1234,6 +1249,10 @@ def search_qadc(
     b=1 engine, query_common.hpp:245-309). Default: on TPU when rerank is on,
     saturate is off, and the probed volume is small (<= DIRECT_MAX_CODES).
     Results rank by exact distance, so recall >= the screened pipeline's.
+    exact: (direct path only) screen with the exact sort cascade instead of
+    the segment-min reduction — oracle-exact top-r ranking at +~30-60 us per
+    b=1 query. The default screen already preserves the global minimum (t=1
+    recall unaffected) and ~99% of deep ranks.
     scan_budget_bytes: memory governor — grouped-path query batches whose
     scan transients would exceed this are chunked (default SCAN_BUDGET_BYTES,
     the analog of the reference's TABLES_BUFFER_SIZE batch sizing,
@@ -1254,7 +1273,9 @@ def search_qadc(
             and queries.shape[0] * ma * index.part_pad <= DIRECT_MAX_CODES
         )
     if direct:
-        return _search_qadc_direct_impl(index, queries, r, ma, interpret=interpret)
+        return _search_qadc_direct_impl(
+            index, queries, r, ma, interpret=interpret, exact=exact
+        )
     prefix_pad = max(1, int(index.max_part_size * keep)) if index.max_part_size else 1
     prefix_pad = min(prefix_pad, index.part_pad)
     if grouped_window is None:

@@ -843,6 +843,18 @@ def rows_adc_accumulate(rows, tlo_c, thi_c, cb: int = 8, interpret: bool = False
     return acc[:a]
 
 
+def rows_adc_block_rows(rows_per_part: int) -> int:
+    """Trimming block unit (ROWS) for rows_adc_grouped_prefetch.
+
+    256 measured best on v5e at SIFT1M IVF-256 b=1 geometry (rpp=512,
+    real ~245 rows): 28.8 us vs 135.7 at 512 (a 512 unit makes nblocks==1,
+    so ragged trimming cannot skip the ~52% padding) and vs 69.6/144.4 at
+    128/64 (per-step overhead) — benchmarks/ab_b1.py. Callers computing
+    group_nblk must use this same unit.
+    """
+    return math.gcd(256, rows_per_part)
+
+
 @functools.partial(
     jax.jit, static_argnames=("rows_per_part", "cb", "interpret", "compact_out")
 )
@@ -865,9 +877,9 @@ def rows_adc_grouped_prefetch(
       tlo_c/thi_c: (GCAP, 16*cb) f32 compact tables (tile_tables_rows order).
       rows_per_part: padded partition size in row128 ROWS (static).
       group_nblk: optional (GCAP,) int32 live block count per group (blocks
-        of gcd(512, rows_per_part) ROWS) — ragged-partition trimming, see
-        lut_scan_grouped_prefetch. Trimmed steps write 0 rows; callers mask
-        by real partition size.
+        of rows_adc_block_rows(rows_per_part) ROWS) — ragged-partition
+        trimming, see lut_scan_grouped_prefetch. Trimmed steps write 0 rows;
+        callers mask by real partition size.
       compact_out: fuse the per-code selector reduction into the kernel and
         emit (GCAP * cpr, rows_per_part) f32 — row gi*cpr + c, column rr is
         the distance of code rr*cpr + c of group gi's partition. 128/cpr x
@@ -889,7 +901,7 @@ def rows_adc_grouped_prefetch(
         thi_c = jnp.tile(thi_c, (1, rep))
         lanes_t = 128
     h_count = lanes_t // 128
-    blk = math.gcd(512, rows_per_part)
+    blk = rows_adc_block_rows(rows_per_part)
     nblocks = rows_per_part // blk
     # Mosaic needs >= 8 sublanes per block (each group's table stored
     # 8-repeated, kernel reads row 0) and each 128-lane HALF as a separate

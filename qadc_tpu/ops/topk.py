@@ -58,17 +58,27 @@ def bf16_screen(vals):
 def screen_smallest(vals, k: int, recall_target: float = 0.95):
     """Approximate k-smallest screening along the last axis.
 
-    On TPU this is jax.lax.approx_min_k — the PartialReduce primitive from
-    "TPU-KNN: K Nearest Neighbor Search at Peak FLOP/s" — measured ~9x faster
-    than exact lax.top_k at (128, 65536), k=200. Use for candidate SCREENING
-    feeding an exact rerank (the rerank absorbs the approximation); use
-    topk_smallest for final results. Falls back to exact top_k off-TPU.
+    On TPU the reduction is jax.lax.approx_min_k — the PartialReduce
+    primitive from "TPU-KNN: K Nearest Neighbor Search at Peak FLOP/s" —
+    measured ~9x faster than exact lax.top_k at (128, 65536), k=200. The
+    aggregation over the (.., L) segment minima is the sort cascade instead
+    of approx_min_k's built-in top_k (aggregate_to_topk pays the K-dominated
+    TopK custom call: 51.3 -> 34.0 us at (1, 196608) k=200 on v5e,
+    benchmarks/ab_b1.py); selection and tie order are identical — both are
+    exact top-k over the same reduced set. Use for candidate SCREENING
+    feeding an exact rerank (the rerank absorbs the reduction's ~1% deep-rank
+    misses); use topk_smallest for final results. Falls back to exact top_k
+    off-TPU.
 
-    Returns (vals (..., k), idx (..., k)).
+    Returns (vals (..., k) f32 ascending, idx (..., k)).
     """
     if jax.default_backend() == "tpu":
-        return jax.lax.approx_min_k(vals, k, recall_target=recall_target)
-    neg, idx = jax.lax.top_k(-vals, k)
+        rv, ri = jax.lax.approx_min_k(
+            vals, k, recall_target=recall_target, aggregate_to_topk=False
+        )
+        sv, si = exact_screen_smallest(rv, k)
+        return sv, jnp.take_along_axis(ri, si, axis=-1)
+    neg, idx = jax.lax.top_k(-vals.astype(jnp.float32), k)
     return -neg, idx
 
 
