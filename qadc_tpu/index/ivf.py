@@ -798,6 +798,15 @@ def _quantized_tables(index, queries, r, ma, keep, prefix_pad, interpret=False):
 # everything stays small (b=1..4 at SIFT1M geometry — the latency regime).
 DIRECT_MAX_CODES = 600_000
 
+# Probe DENSITY (live (query, assignment) pairs per probed partition) at or
+# below which the direct path beats the grouped kernel REGARDLESS of volume:
+# a group's table slab is G=128 columns wide whatever the live count, so at
+# density d the grouped MXU does 128/d useful work. Measured crossover ~2 on
+# v5e (benchmarks/ab_direct_density.py: direct wins 1.7-1.9x at density 1,
+# grouped wins 1.2x at density 3) — sparse-probe regimes (large part_count,
+# small batches: the Deep100M serving shape) route direct.
+DIRECT_MAX_DENSITY = 1.5
+
 # Memory governor for the grouped scan paths: the reference sizes its query
 # batch so the distance tables fit a 1 GiB buffer (TABLES_BUFFER_SIZE,
 # query_common.hpp:147,171-175). The grouped kernels' dominant transients —
@@ -1265,17 +1274,36 @@ def search_qadc(
     # Probing more partitions than exist == probing all of them.
     ma = min(ma, index.part_count)
     if direct is None:
+        qa = queries.shape[0] * ma
+        density = qa / max(1, min(index.part_count, qa))
         direct = (
             (jax.default_backend() == "tpu" or interpret)
             and rerank
             and not saturate
             and index.pq.sq_count in (16, 32)
-            and queries.shape[0] * ma * index.part_pad <= DIRECT_MAX_CODES
+            and (
+                qa * index.part_pad <= DIRECT_MAX_CODES
+                or density <= DIRECT_MAX_DENSITY
+            )
         )
     if direct:
-        return _search_qadc_direct_impl(
-            index, queries, r, ma, interpret=interpret, exact=exact
+        # Memory governor for the direct path: its dominant transient is the
+        # (q, ma*part_pad) distance matrix plus the valid mask and screen
+        # intermediates (~9 bytes per probed code) — chunk the query batch
+        # so sparse-probe large-volume configs stay within budget.
+        budget = SCAN_BUDGET_BYTES if scan_budget_bytes is None else scan_budget_bytes
+        chunk = _governed_query_chunk(
+            lambda qc: qc * ma * index.part_pad * 9, queries.shape[0], budget
         )
+
+        def run_direct(qs):
+            return _search_qadc_direct_impl(
+                index, qs, r, ma, interpret=interpret, exact=exact
+            )
+
+        if chunk < queries.shape[0]:
+            return _run_query_chunks(run_direct, jnp.asarray(queries), chunk)
+        return run_direct(queries)
     prefix_pad = max(1, int(index.max_part_size * keep)) if index.max_part_size else 1
     prefix_pad = min(prefix_pad, index.part_pad)
     if grouped_window is None:
