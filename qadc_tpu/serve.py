@@ -6,6 +6,14 @@ Here, a background worker drains a request queue into FIXED-SHAPE batches
 (jit compiles once) with a small collection window — the standard continuous
 batching pattern: latency-bounded, throughput amortized across callers.
 
+The pipeline is double-buffered: a collector thread drains the request queue
+and builds padded batches while an executor thread blocks on the device for
+the previous batch, so host-side collection (python queue churn + padding
+copies) never serializes with device execution. Peak QPS is then bounded by
+max(collection, execution) instead of their sum — on the relay, whose fixed
+dispatch cost is on the order of the collection window itself, that is the
+difference between collection-bound and device-bound serving.
+
 Usage:
     server = SearchServer(index, r=100, ma=24, keep=0.00213, batch_size=128)
     future = server.submit(query_vector)        # thread-safe, any caller
@@ -79,8 +87,14 @@ class SearchServer:
         # passed the check could enqueue after the drain and never resolve.
         self._lock = threading.Lock()
         self._batches = 0  # served batch count (for tests/metrics)
-        self._worker = threading.Thread(target=self._loop, daemon=True)
-        self._worker.start()
+        # Double-buffer: collector stages at most one batch (maxsize=1)
+        # while the executor blocks on the device for the previous one.
+        # A deeper queue would only add latency without adding overlap.
+        self._exec_q: queue.Queue = queue.Queue(maxsize=1)
+        self._collector = threading.Thread(target=self._collect_loop, daemon=True)
+        self._executor = threading.Thread(target=self._execute_loop, daemon=True)
+        self._collector.start()
+        self._executor.start()
 
     def _search(self, batch):
         if self._search_fn is not None:
@@ -95,11 +109,15 @@ class SearchServer:
             return flat_mod.search_qadc(self.index, batch, r=self.r, keep=self.keep)
         return flat_mod.search_adc(self.index, batch, r=self.r)
 
-    def _loop(self):
+    def _collect_loop(self):
+        """Drain the request queue into padded fixed-shape batches and stage
+        them for the executor. Always terminates by forwarding the None
+        sentinel to the executor — the executor's shutdown paths rely on it."""
         dim = self.index.pq.dim
         while True:
             item = self._q.get()
             if item is None:
+                self._exec_q.put(None)
                 return
             pending = [item]
             # Collect up to batch_size requests before an ABSOLUTE deadline
@@ -119,11 +137,19 @@ class SearchServer:
                     break
                 pending.append(nxt)
 
+            bsz = next(b for b in self.batch_buckets if b >= len(pending))
+            batch = np.zeros((bsz, dim), np.float32)
+            for i, (vec, _) in enumerate(pending):
+                batch[i] = vec
+            self._exec_q.put((pending, batch))
+
+    def _execute_loop(self):
+        while True:
+            item = self._exec_q.get()
+            if item is None:
+                return
+            pending, batch = item
             try:
-                bsz = next(b for b in self.batch_buckets if b >= len(pending))
-                batch = np.zeros((bsz, dim), np.float32)
-                for i, (vec, _) in enumerate(pending):
-                    batch[i] = vec
                 dists, labels = self._search(batch)
                 dists, labels = np.asarray(dists), np.asarray(labels)
             except Exception as e:  # noqa: BLE001 — fail this batch's callers, not silently
@@ -132,23 +158,38 @@ class SearchServer:
                 self._fail_streak += 1
                 if self._fail_streak < self.max_consecutive_failures:
                     continue  # transient failure: keep serving
-                # Poisoned state (N failures in a row): close + drain
-                # atomically vs submit(): once the lock is released, any
-                # submit sees _closed and fails fast, so nothing can enqueue
-                # after the drain and block forever.
+                # Poisoned state (N failures in a row): close, then drain.
+                # _closed is flipped under the lock so any submit that raced
+                # past its check has already enqueued and will be drained;
+                # everything after fails fast.
                 with self._lock:
                     self._closed = True
-                    while True:
-                        try:
-                            nxt = self._q.get_nowait()
-                        except queue.Empty:
-                            return
-                        if nxt is not None:
-                            nxt[1].set_exception(e)
-            self._fail_streak = 0
-            self._batches += 1
-            for i, (_, fut) in enumerate(pending):
-                fut.set_result((dists[i], labels[i]))
+                # The collector may hold a collected-but-unstaged batch and
+                # may be blocked on _q.get(). Wake it: it flushes its pending
+                # batch into _exec_q, sees the sentinel, forwards it — so
+                # draining _exec_q *until the sentinel* provably fails every
+                # in-flight future.
+                self._q.put(None)
+                while True:
+                    staged = self._exec_q.get()
+                    if staged is None:
+                        break
+                    for _, fut in staged[0]:
+                        fut.set_exception(e)
+                # Collector has exited; nothing else reads _q. Fail whatever
+                # was enqueued before _closed flipped.
+                while True:
+                    try:
+                        nxt = self._q.get_nowait()
+                    except queue.Empty:
+                        return
+                    if nxt is not None:
+                        nxt[1].set_exception(e)
+            else:
+                self._fail_streak = 0
+                self._batches += 1
+                for i, (_, fut) in enumerate(pending):
+                    fut.set_result((dists[i], labels[i]))
 
     def submit(self, query) -> Future:
         """Queue one query vector; resolves to (dists (r,), labels (r,))."""
@@ -166,7 +207,8 @@ class SearchServer:
         with self._lock:
             self._closed = True
         self._q.put(None)
-        self._worker.join(timeout=30)
+        self._collector.join(timeout=30)
+        self._executor.join(timeout=30)
 
     def __enter__(self):
         return self

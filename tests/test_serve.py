@@ -153,6 +153,40 @@ def test_serve_closes_after_consecutive_failures(built):
         srv.close()
 
 
+def test_serve_collects_next_batch_while_executing(built):
+    """Double-buffering contract: while the executor is blocked in the device
+    call for batch N, the collector stages batch N+1 (serve QPS bounded by
+    max(collect, execute), not their sum)."""
+    import time
+
+    index, base = built
+    in_search = threading.Event()
+    release = threading.Event()
+
+    def blocking(idx, batch):
+        in_search.set()
+        assert release.wait(timeout=30)
+        return flat.search_qadc(idx, batch, r=5, keep=0.05)
+
+    with SearchServer(
+        index, batch_size=4, max_wait_ms=1, search_fn=blocking
+    ) as srv:
+        first = srv.submit(base[0])
+        assert in_search.wait(timeout=30)
+        # Executor is now blocked inside _search. Submit a second wave and
+        # give the collector its window: it must stage the next batch.
+        in_search.clear()
+        later = [srv.submit(base[i]) for i in (1, 2, 3)]
+        deadline = time.monotonic() + 10
+        while srv._exec_q.empty() and time.monotonic() < deadline:
+            time.sleep(0.005)
+        assert not srv._exec_q.empty(), "collector did not overlap collection"
+        release.set()
+        assert first.result(timeout=60)[1][0] == 0
+        for i, f in enumerate(later):
+            assert f.result(timeout=60)[1][0] == i + 1
+
+
 def test_serve_restart_from_sharded_checkpoint(built, tmp_path):
     """SURVEY §5.3 restartable serving: kill a server, restart a new one
     from the on-disk sharded checkpoint (per-shard loading), and get
