@@ -97,7 +97,8 @@ def main():
                     try:
                         dt = bench_scan(n, m, q, variant, with_rows, block_n=block_n)
                     except Exception as e:  # noqa: BLE001
-                        print(f"m={m} {variant} rows={int(with_rows)} blk={block_n}: FAIL {type(e).__name__}")
+                        msg = " ".join(str(e).split())[:300]
+                        print(f"m={m} {variant} rows={int(with_rows)} blk={block_n}: FAIL {type(e).__name__}: {msg}")
                         continue
                     cqs = n * q / dt
                     print(

@@ -71,6 +71,57 @@ def sift_moment_like(rng, n, nq=256, clusters=2048, spread=0.5, dim=128):
     return draw(n), draw(nq)
 
 
+def gist_moment_like(rng, n, nq=256, clusters=2048, spread=0.45, dim=960):
+    """GIST-moment-matched synthetic.
+
+    GIST descriptors are Gabor filter energies over a 4x4 spatial grid x 60
+    channels (960-d), small positive floats with strong within-cell channel
+    correlation and LOWER relative contrast than SIFT (scene gists crowd the
+    space — the published reason GIST recall sits below SIFT at equal code
+    size). Model: scene-type cluster centers with a smooth per-cell energy
+    envelope, per-sample global illumination (lognormal), per-cell activation
+    jitter shared across that cell's 60 channels (the correlation SIFT's
+    generator lacks), plus channel noise. No uint8 rounding — GIST is float.
+    """
+    cells, chans = 16, dim // 16
+    # smooth spatial envelope: center cells carry more energy
+    cell_w = np.array([
+        0.7, 0.85, 0.85, 0.7,
+        0.85, 1.0, 1.0, 0.85,
+        0.85, 1.0, 1.0, 0.85,
+        0.7, 0.85, 0.85, 0.7,
+    ])
+    profile = np.repeat(cell_w, chans)[:dim]
+    centers = rng.gamma(1.5, 0.045, size=(clusters, dim)).astype(np.float32)
+    centers *= profile[None, :]
+
+    def draw(k):
+        who = rng.integers(0, clusters, k)
+        c = centers[who]
+        g = rng.lognormal(0.0, spread, size=(k, 1)).astype(np.float32)
+        cell_act = rng.lognormal(
+            0.0, spread * 0.8, size=(k, cells)
+        ).astype(np.float32)
+        act = np.repeat(cell_act, chans, axis=1)[:, :dim]
+        x = c * g * act + rng.normal(
+            scale=spread * 0.35 * (c + 0.01)
+        ).astype(np.float32)
+        return np.clip(x, 0.0, 1.0).astype(np.float32)
+
+    return draw(n), draw(nq)
+
+
+GEOMETRIES = {
+    # name: (dim, generator, (m_8bit, bits), (m_4bit, bits))
+    # sift: the reference's published SIFT1M table (8x8 ADC vs 16x4 QADC).
+    # gist: 960-d, 16x8 ADC vs 32x4 QADC — the two-half compact-table
+    # layout (README.md:153-157 lists GIST1M; the paper's acceptance claim
+    # is recall@R at 4-bit within <=1% of 8-bit ADC on SIFT1M/GIST1M).
+    "sift": (128, sift_moment_like, (8, 8), (16, 4)),
+    "gist": (960, gist_moment_like, (16, 8), (32, 4)),
+}
+
+
 def batched(search_fn, queries, bs=32):
     """Run a search in query batches (the CPU jnp 8-bit fallback materializes
     (Q, part_pad, M*256) one-hots — 139 GB at nq=200/1M unbatched)."""
@@ -115,65 +166,71 @@ def main():
     ap.add_argument("--n", type=int, default=1_000_000)
     ap.add_argument("--small", action="store_true")
     ap.add_argument("--nq", type=int, default=256)
+    ap.add_argument("--geometry", choices=sorted(GEOMETRIES), default="sift")
     args = ap.parse_args()
     n = 100_000 if args.small else args.n
     parts = 256
     nq = args.nq
+    dim, gen, (m8, b8), (m4, b4) = GEOMETRIES[args.geometry]
+    k_flat8 = f"flat_{m8}x{b8}_adc"
+    k_flat4 = f"flat_{m4}x{b4}_qadc"
+    k_ivf8 = f"ivf_{m8}x{b8}_adc_ma24"
+    k_ivf4 = f"ivf_{m4}x{b4}_qadc_ma24"
 
     rng = np.random.default_rng(0)
     t0 = time.time()
-    sift = load_sift1m(nq)
+    sift = load_sift1m(nq) if args.geometry == "sift" else None
     if sift is not None:
         learn, base, queries, gt = sift
         n = base.shape[0]
         source = "SIFT1M"
     else:
-        base, queries = sift_moment_like(rng, n, nq=nq)
+        base, queries = gen(rng, n, nq=nq)
         learn = base[: min(100_000, n)]
         _, gt = exact_knn(queries, base, 1)
         gt = np.asarray(gt)
-        source = f"sift-moment-matched synthetic (n={n})"
+        source = f"{args.geometry}-moment-matched synthetic (n={n}, dim={dim})"
     print(f"data+gt [{source}]: {time.time()-t0:.0f}s", file=sys.stderr, flush=True)
 
-    res = {"source": source, "n": int(n)}
+    res = {"source": source, "n": int(n), "geometry": args.geometry}
 
     # ---- anchors: the reference's published table shape.
     t0 = time.time()
-    opq88 = train_opq(jax.random.PRNGKey(0), learn, 8, 8, opq_iters=6, kmeans_iters=12)
-    opq164 = train_opq(jax.random.PRNGKey(1), learn, 16, 4, opq_iters=6, kmeans_iters=12)
+    opq88 = train_opq(jax.random.PRNGKey(0), learn, m8, b8, opq_iters=6, kmeans_iters=12)
+    opq164 = train_opq(jax.random.PRNGKey(1), learn, m4, b4, opq_iters=6, kmeans_iters=12)
     f88 = flat.add(flat.FlatIndex.create(opq88), base)
     l = batched(lambda q: flat.search_adc(f88, q, r=100), queries)
-    res["flat_8x8_adc"] = recall_at_r(l, gt)
+    res[k_flat8] = recall_at_r(l, gt)
     f164 = flat.add(flat.FlatIndex.create(opq164), base)
     l = batched(
         lambda q: flat.search_qadc(f164, q, r=100, keep=max(200 / n, 0.00213)),
         queries,
     )
-    res["flat_16x4_qadc"] = recall_at_r(l, gt)
+    res[k_flat4] = recall_at_r(l, gt)
     print(f"flat anchors: {time.time()-t0:.0f}s", file=sys.stderr, flush=True)
 
     t0 = time.time()
     coarse = ivf.train_coarse(jax.random.PRNGKey(2), learn, parts, iters=25)
     a = np.asarray(assign_nearest(learn, coarse))
     residuals = learn - np.asarray(coarse)[a]
-    r88 = train_opq(jax.random.PRNGKey(3), residuals, 8, 8, opq_iters=6, kmeans_iters=12)
-    r164 = train_opq(jax.random.PRNGKey(4), residuals, 16, 4, opq_iters=6, kmeans_iters=12)
+    r88 = train_opq(jax.random.PRNGKey(3), residuals, m8, b8, opq_iters=6, kmeans_iters=12)
+    r164 = train_opq(jax.random.PRNGKey(4), residuals, m4, b4, opq_iters=6, kmeans_iters=12)
     i88 = ivf.add(ivf.IVFIndex.create(r88, coarse), base)
     i164 = ivf.add(ivf.IVFIndex.create(r164, coarse), base)
     print(f"IVF built: {time.time()-t0:.0f}s", file=sys.stderr, flush=True)
 
     l = batched(lambda q: ivf.search_adc(i88, q, r=100, ma=24), queries)
-    res["ivf_8x8_adc_ma24"] = recall_at_r(l, gt)
+    res[k_ivf8] = recall_at_r(l, gt)
     keep0 = 0.00213 * 4  # reference -k 0.213 is % of N; per-partition here
     l = batched(lambda q: ivf.search_qadc(i164, q, r=100, ma=24, keep=keep0),
                 queries)
-    res["ivf_16x4_qadc_ma24"] = recall_at_r(l, gt)
+    res[k_ivf4] = recall_at_r(l, gt)
     l = batched(
         lambda q: ivf.search_qadc(i164, q, r=100, ma=24, keep=keep0,
                                   rerank=False),
         queries,
     )
-    res["ivf_16x4_qadc_ma24_norerank"] = recall_at_r(l, gt)
+    res[k_ivf4 + "_norerank"] = recall_at_r(l, gt)
 
     # ---- ma sweep (keep fixed): the reference's probe/recall trade-off.
     ma_sweep = {}
@@ -199,20 +256,26 @@ def main():
     print(f"\n### Recall curves ({source}, R=100, {nq} queries)\n")
     print("| config | recall@100 | reference (SIFT1M) |")
     print("|---|---|---|")
-    for k, refv in REFERENCE.items():
+    for k in (k_flat8, k_ivf8, k_ivf4):
+        refv = REFERENCE.get(k, "(not published)")
         print(f"| {k} | {res[k]:.4f} | {refv} |")
-    print(f"| flat_16x4_qadc | {res['flat_16x4_qadc']:.4f} | (not published) |")
-    print(f"| ivf_16x4_qadc_ma24_norerank | "
-          f"{res['ivf_16x4_qadc_ma24_norerank']:.4f} | 0.9426 (ref ranking) |")
+    print(f"| {k_flat4} | {res[k_flat4]:.4f} | (not published) |")
+    norerank_ref = "0.9426 (ref ranking)" if args.geometry == "sift" else "(not published)"
+    print(f"| {k_ivf4}_norerank | "
+          f"{res[k_ivf4 + '_norerank']:.4f} | {norerank_ref} |")
     ordering_ok = (
-        res["flat_8x8_adc"] <= res["ivf_16x4_qadc_ma24"] + 0.01
-        and res["ivf_16x4_qadc_ma24"] <= res["ivf_8x8_adc_ma24"] + 0.01
+        res[k_flat8] <= res[k_ivf4] + 0.01
+        and res[k_ivf4] <= res[k_ivf8] + 0.01
     )
-    delta = res["ivf_8x8_adc_ma24"] - res["ivf_16x4_qadc_ma24"]
-    print(f"\nordering flat8x8 <= ivf16x4 <= ivf8x8: "
+    delta = res[k_ivf8] - res[k_ivf4]
+    # The paper's acceptance claim: 4-bit Quick ADC within <=1% recall of
+    # 8-bit ADC on SIFT1M AND GIST1M (with rerank; no-rerank published
+    # delta on SIFT1M is +0.022).
+    print(f"\nordering flat{m8}x{b8} <= ivf{m4}x{b4} <= ivf{m8}x{b8}: "
           f"{'REPRODUCED' if ordering_ok else 'NOT reproduced'}; "
-          f"IVF 4-bit delta = {delta:+.4f} (reference: +0.022)\n")
-    print("| ma | ivf 16x4 qadc | ivf 8x8 adc |")
+          f"IVF 4-bit delta = {delta:+.4f} "
+          f"({'<=0.01: PAPER CLAIM HOLDS' if delta <= 0.01 else 'exceeds the paper 1% bound'})\n")
+    print(f"| ma | ivf {m4}x{b4} qadc | ivf {m8}x{b8} adc |")
     print("|---|---|---|")
     for ma, (r4, r8) in ma_sweep.items():
         print(f"| {ma} | {r4:.4f} | {r8:.4f} |")

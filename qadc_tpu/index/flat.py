@@ -315,9 +315,9 @@ def search_adc(
     on_tpu = jax.default_backend() == "tpu" or interpret
     enough = n_pad // DEFAULT_WINDOW >= 8 * r
 
-    from qadc_tpu.index.ivf import SCAN_BUDGET_BYTES
+    from qadc_tpu.index.ivf import _default_scan_budget
 
-    budget = SCAN_BUDGET_BYTES if scan_budget_bytes is None else scan_budget_bytes
+    budget = _default_scan_budget() if scan_budget_bytes is None else scan_budget_bytes
     q = tables.shape[0]
     qp = -(-q // 128) * 128
 
@@ -463,12 +463,12 @@ def search_qadc(
         # quantized distance (top-r windows by min provably contain it).
         # Ranges chunk the code axis when the window-min output would bust
         # the scan budget (per-range exact merges stay exact).
-        from qadc_tpu.index.ivf import SCAN_BUDGET_BYTES
+        from qadc_tpu.index.ivf import _default_scan_budget
 
         window = min(cpr, DEFAULT_WINDOW)
         qp = -(-tables.shape[0] // 128) * 128
         budget = (
-            SCAN_BUDGET_BYTES if scan_budget_bytes is None else scan_budget_bytes
+            _default_scan_budget() if scan_budget_bytes is None else scan_budget_bytes
         )
         nr = _flat_range_count(n_pad, qp, window, budget)
         range_codes = n_pad // nr

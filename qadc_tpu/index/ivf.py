@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+import os
 from functools import partial
 
 import jax
@@ -215,7 +216,7 @@ def search_adc(
             # whenever probes repeat partitions, on any backend.
             index.pq.sq_bits == 16 and index.part_pad % 512 == 0
         )
-    budget = SCAN_BUDGET_BYTES if scan_budget_bytes is None else scan_budget_bytes
+    budget = _default_scan_budget() if scan_budget_bytes is None else scan_budget_bytes
     if grouped and index.pq.sq_bits == 4:
         def run4(qs):
             return _search_adc4_grouped_impl(
@@ -814,7 +815,45 @@ DIRECT_MAX_DENSITY = 1.5
 # (gcap*lanes, G) table slabs — all scale with the query count, so a large
 # b x ma config is CHUNKED over queries to stay within this budget instead of
 # discovering OOM at runtime.
+#
+# The budget must track the DEVICE, not a constant: chunking costs real
+# throughput on sparse-probe shapes (each chunk re-pays the 128-wide group
+# slab for its few live queries — a hardcoded 2 GiB budget chunked Deep100M
+# b=512 into 8 pieces and cost 2.5x, measured 158.6 -> 399 us/query), so the
+# default is a fraction of the accelerator's memory limit with the constant
+# as the floor/fallback.
 SCAN_BUDGET_BYTES = 2 << 30
+_scan_budget_cache: int | None = None
+
+
+def _default_scan_budget() -> int:
+    """35% of the device memory limit (HBM), floored at SCAN_BUDGET_BYTES.
+
+    Relayed devices can report empty memory_stats(); every current TPU has
+    >= 16 GB HBM, so the TPU fallback is 6 GiB (~35% of the smallest).
+    QADC_SCAN_BUDGET_BYTES overrides everything for exotic deployments.
+    """
+    global _scan_budget_cache
+    if _scan_budget_cache is None:
+        env = os.environ.get("QADC_SCAN_BUDGET_BYTES")
+        if env:
+            _scan_budget_cache = int(env)
+            return _scan_budget_cache
+        budget = SCAN_BUDGET_BYTES
+        try:
+            dev = jax.devices()[0]
+            stats = dev.memory_stats() or {}
+            limit = stats.get("bytes_limit") or stats.get(
+                "bytes_reservable_limit"
+            )
+            if limit:
+                budget = max(budget, int(limit * 0.35))
+            elif dev.platform == "tpu":
+                budget = 6 << 30
+        except Exception:  # noqa: BLE001 — stats are optional (CPU/relay)
+            pass
+        _scan_budget_cache = budget
+    return _scan_budget_cache
 
 
 def _grouped_scan_bytes(
@@ -1241,6 +1280,7 @@ def search_qadc(
     grouped_window: int | None = None, interpret: bool = False,
     saturate: bool = False, direct: bool | None = None,
     scan_budget_bytes: int | None = None, exact: bool = False,
+    block_n: int | None = None,
 ):
     """Quick-ADC IVF search (reference: db_query_4.cpp; requires sq_bits==4).
 
@@ -1291,7 +1331,7 @@ def search_qadc(
         # (q, ma*part_pad) distance matrix plus the valid mask and screen
         # intermediates (~9 bytes per probed code) — chunk the query batch
         # so sparse-probe large-volume configs stay within budget.
-        budget = SCAN_BUDGET_BYTES if scan_budget_bytes is None else scan_budget_bytes
+        budget = _default_scan_budget() if scan_budget_bytes is None else scan_budget_bytes
         chunk = _governed_query_chunk(
             lambda qc: qc * ma * index.part_pad * 9, queries.shape[0], budget
         )
@@ -1306,21 +1346,38 @@ def search_qadc(
         return run_direct(queries)
     prefix_pad = max(1, int(index.max_part_size * keep)) if index.max_part_size else 1
     prefix_pad = min(prefix_pad, index.part_pad)
-    if grouped_window is None:
-        # Windows == whole ROW128 storage rows (or an even split of one):
-        # the rerank gathers exactly one row per window (see window_rerank).
-        grouped_window = min(codes_per_row(index.pq.code_size), 16)
     if grouped is None:
         grouped = (
             jax.default_backend() == "tpu"
             and index.pq.sq_count in (16, 32)
             and index.part_pad % 512 == 0
         )
+    if grouped and (block_n is None or grouped_window is None):
+        # Measured per-geometry pick, if one was tuned and recorded
+        # (qadc_tpu/autotune.py); the fixed heuristics below otherwise.
+        from qadc_tpu import autotune as _autotune
+
+        pick = _autotune.lookup(
+            _autotune.geometry_key(index, "ivf_qadc_grouped", queries.shape[0])
+        )
+        if not pick and _autotune.enabled() and not interpret:
+            pick = _autotune.tune_ivf_qadc(index, queries, r=r, ma=ma, keep=keep)
+        if block_n is None:
+            block_n = pick.get("block_n")
+        if grouped_window is None:
+            grouped_window = pick.get("grouped_window")
+    if grouped_window is None:
+        # Windows == whole ROW128 storage rows (or an even split of one):
+        # the rerank gathers exactly one row per window (see window_rerank).
+        grouped_window = min(codes_per_row(index.pq.code_size), 16)
+    if block_n is None:
+        block_n = 2048
     if grouped:
         def run(qs):
             return _search_qadc_grouped_impl(
                 index, qs, r, ma, keep, prefix_pad, rerank,
                 group_size, grouped_window, interpret, saturate=saturate,
+                block_n=block_n,
             )
 
         lanes = (index.pq.sq_count // 2) * 16
@@ -1331,7 +1388,7 @@ def search_qadc(
                 r=r, cb=index.pq.code_size, prefix_pad=prefix_pad,
             ),
             queries.shape[0],
-            SCAN_BUDGET_BYTES if scan_budget_bytes is None else scan_budget_bytes,
+            _default_scan_budget() if scan_budget_bytes is None else scan_budget_bytes,
         )
         if chunk < queries.shape[0]:
             return _run_query_chunks(run, jnp.asarray(queries), chunk)
