@@ -56,38 +56,37 @@ def main():
 
         pflat = parts.reshape(-1)
         blk_rows = _math.gcd(512, rpp)
-        sz_rows = -(-idx.part_sizes[pflat] // cpr)
+        sz_flat = idx.part_sizes[pflat]
+        sz_rows = -(-sz_flat // cpr)
         return rows_adc_grouped_prefetch(
             idx.codes.reshape(-1, 128), pflat, tlo, thi, rpp, cb=cb,
             compact_out=True,
             group_nblk=jnp.clip(
                 (sz_rows + blk_rows - 1) // blk_rows, 1, rpp // blk_rows
             ).astype(jnp.int32),
+            mask_sizes=sz_flat,  # fused validity mask (kernel epilogue)
         )
 
     def mask(idx, parts, d, q):
-        # Production masking: compact transposed layout (column c*rpp + rr is
-        # code rr*cpr + c), finite sentinel, no up-front label gather.
-        d = d.reshape(q, ma * idx.part_pad)
-        sz = idx.part_sizes[parts]
-        col = jnp.arange(idx.part_pad, dtype=jnp.int32)
-        code_of_col = (col % rpp) * cpr + col // rpp
-        valid = (code_of_col[None, None, :] < sz[:, :, None]).reshape(
-            q, ma * idx.part_pad
+        # Production relayout: assignment-INTERLEAVED columns (j = col*ma + a
+        # — spreads clustered partitions across the screen's contiguous
+        # segments). Validity masking itself is fused into the kernel.
+        return (
+            d.reshape(q, ma, idx.part_pad)
+            .transpose(0, 2, 1)
+            .reshape(q, idx.part_pad * ma)
         )
-        return jnp.where(valid, d, jnp.float32(3.0e38))
 
     def screen(idx, parts, d, q, wq):
-        # Production screen: bf16 input on TPU, exact-value regather,
-        # winners-only label reconstruction via select-accumulate.
+        # Production screen: f32 (exact values; see ivf.py's bf16 plateau
+        # note), winners-only label reconstruction via select-accumulate.
         from qadc_tpu.index.ivf import _select_cols
 
-        d_s = d.astype(jnp.bfloat16) if jax.default_backend() == "tpu" else d
-        _, si = screen_smallest(d_s, wq)
+        _, si = screen_smallest(d, wq)
         sv = jnp.take_along_axis(d, si, axis=-1)
-        a_id = si // idx.part_pad
+        a_id = si % ma
         part_sel = _select_cols(parts, a_id, ma)
-        within = si % idx.part_pad
+        within = si // ma
         code_local = (within % rpp) * cpr + within // rpp
         sl = idx.labels.reshape(-1)[part_sel * idx.part_pad + code_local]
         return sv, sl

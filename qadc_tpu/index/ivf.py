@@ -29,7 +29,7 @@ import numpy as np
 
 from qadc_tpu.core.layout import codes_per_row
 from qadc_tpu.core.packing import unpack_codes
-from qadc_tpu.kernels.lut_scan import slots_to_rows, window_slots
+from qadc_tpu.kernels.lut_scan import MASK_BIG, slots_to_rows, window_slots
 from qadc_tpu.ops.kmeans import kmeans
 from qadc_tpu.ops.knn import exact_knn
 from qadc_tpu.ops.quantization import (
@@ -38,7 +38,12 @@ from qadc_tpu.ops.quantization import (
     quantize_tables_int8,
 )
 from qadc_tpu.ops.tables import adc_tables
-from qadc_tpu.ops.topk import merge_topk, screen_smallest, topk_smallest
+from qadc_tpu.ops.topk import (
+    exact_screen_smallest,
+    merge_topk,
+    screen_smallest,
+    topk_smallest,
+)
 from qadc_tpu.quantizers.pq import ProductQuantizer
 
 PART_ALIGN = 512  # partition padding granularity (rows); multiple of the
@@ -324,11 +329,11 @@ def _search_adc8_grouped_impl(
     The jnp per-assignment path materializes (Q, part_pad, M*256) one-hots in
     HBM (~6 GB/batch at SIFT1M geometry); here each probed partition is
     scanned ONCE in VMEM against its group's (m*256, G) bf16 table slab
-    (kernels.lut_scan8_grouped_prefetch). Per-window argmin candidates are
-    screened at query level and reranked with exact-f32 table gathers, so the
-    returned top-r is exact among screened candidates — same contract as the
-    flat 8-bit path (window collisions lose a true top-r entry with
-    probability ~R^2*W/2N; see ops/topk.py). Reference:
+    (kernels.lut_scan8_grouped_prefetch). Window MINIMA are screened at query
+    level, then every member of each winning window is reranked with
+    exact-f32 table gathers — whole-window expansion, the same contract as
+    the flat 8-bit path's window_rerank (a true top-r entry is lost only if
+    its entire window misses the wq-window screen). Reference:
     scan_standard<uint8_t> over probed partitions (query_common.hpp:92-118).
     """
     from qadc_tpu.core.packing import gather_codes_row128, unpack_codes
@@ -394,35 +399,54 @@ def _search_adc8_grouped_impl(
     wi_last = (last // block_n) * gr + slot_last % gr     # (QA,)
     keep = (~clamped) | (win_ids[None, :] == wi_last[:, None])
     cv = jnp.where(win_has_valid & keep, cv, jnp.inf)
-    rows_local = jnp.minimum(rows_local, last[:, None])
 
-    # Query-level screen of 2r candidates across the query's ma partitions;
-    # the exact rerank below absorbs the approximation (and the kernel's
-    # bf16-table rounding).
+    # Query-level screen of 2r WINDOWS across the query's ma partitions, then
+    # expand each winning window and exactly rerank EVERY member. Ranking
+    # only per-window argmins lost co-window top-r members when the true
+    # top-r clusters into few partitions — measured -0.039 recall@100 at 1M
+    # clustered geometry vs the jnp oracle (benchmarks/diag_path_recall.py);
+    # whole-window expansion is the same shape the 4-bit path's
+    # window_rerank uses and restores oracle parity up to window-screen
+    # misses (a lost entry now needs its whole WINDOW to miss the wq cut).
     wq = min(2 * r, ma * c)
     cv_q = cv.reshape(q, ma * c)
-    screen_v, selq = screen_smallest(cv_q, wq)            # (Q, wq) into ma*C
+    # EXACT window screen: with whole-window expansion below, top-wq windows
+    # by true min (wq >= r) provably contain every true top-r member's
+    # window; the approx segment screen dropped clustered windows (measured,
+    # benchmarks/diag_path_recall.py). Width is only ma*C — cascade regime.
+    screen_v, selq = exact_screen_smallest(cv_q, wq)      # (Q, wq) into ma*C
     sel_ai = selq // c
+    sel_win = selq % c                                    # window id in its partition
     sel_pair = jnp.arange(q, dtype=jnp.int32)[:, None] * ma + sel_ai
-    cand_local = jnp.take_along_axis(rows_local.reshape(q, ma * c), selq, axis=1)
     sel_part = _select_cols(parts, sel_ai, ma)            # (Q, wq)
-    cand_global = sel_part * part_pad + cand_local        # (Q, wq) code rows
+    all_rows = slots_to_rows(
+        window_slots(sel_win, block_n, window), block_n, m
+    )                                                     # (Q, wq, window) local rows
+    sz_sel = index.part_sizes[sel_part]                   # (Q, wq)
+    member_ok = (
+        (all_rows < sz_sel[..., None]) & jnp.isfinite(screen_v)[..., None]
+    )
+    rows_cl = jnp.minimum(all_rows, jnp.maximum(sz_sel - 1, 0)[..., None])
+    cand_global = (
+        sel_part[..., None] * part_pad + rows_cl
+    ).reshape(q, wq * window)                             # (Q, wq*window) code rows
     cand_lab = index.labels.reshape(-1)[cand_global]
 
     # Exact-f32 rerank: one flat element gather per (candidate, sub-quantizer)
-    # from the per-pair f32 tables (Q*wq*m elements).
+    # from the per-pair f32 tables (Q*wq*window*m elements).
     cand_codes = gather_codes_row128(
         index.codes.reshape(-1, 128), cand_global, m
-    )                                                     # (Q, wq, m) u8
-    idx8 = unpack_codes(cand_codes, m, 8)                 # (Q, wq, m) int32
+    )                                                     # (Q, wq*window, m) u8
+    idx8 = unpack_codes(cand_codes, m, 8)                 # (Q, wq*window, m) int32
     tab_flat = tables.reshape(qa * m * 256)
     m_iota = jnp.arange(m, dtype=jnp.int32)
-    flat_ix = (sel_pair[:, :, None] * m + m_iota) * 256 + idx8
-    fd = jnp.sum(tab_flat[flat_ix], axis=-1)              # (Q, wq) f32
-    fd = jnp.where(jnp.isfinite(screen_v), fd, jnp.inf)
-    if r > wq:  # tiny probed volume: pad to the (Q, r) contract
-        fd = jnp.pad(fd, [(0, 0), (0, r - wq)], constant_values=jnp.inf)
-        cand_lab = jnp.pad(cand_lab, [(0, 0), (0, r - wq)])
+    pair_rep = jnp.repeat(sel_pair, window, axis=1)       # (Q, wq*window)
+    flat_ix = (pair_rep[:, :, None] * m + m_iota) * 256 + idx8
+    fd = jnp.sum(tab_flat[flat_ix], axis=-1)              # (Q, wq*window) f32
+    fd = jnp.where(member_ok.reshape(q, wq * window), fd, jnp.inf)
+    if r > wq * window:  # tiny probed volume: pad to the (Q, r) contract
+        fd = jnp.pad(fd, [(0, 0), (0, r - wq * window)], constant_values=jnp.inf)
+        cand_lab = jnp.pad(cand_lab, [(0, 0), (0, r - wq * window)])
     return topk_smallest(fd, cand_lab, r)
 
 
@@ -513,33 +537,50 @@ def _search_adc16_grouped_impl(
         jnp.arange(c, dtype=jnp.int32)[None, :] == (last // window)[:, None]
     )
     cv = jnp.where(win_has_valid & keep, cv, jnp.inf)
-    rows_local = jnp.minimum(rows_local, last[:, None])
 
     wq = min(2 * r, ma * c)
     cv_q = cv.reshape(q, ma * c)
-    screen_v, selq = screen_smallest(cv_q, wq)
+    # EXACT window screen + whole-window expansion (same contract as the
+    # 4/8-bit grouped paths): ranking only per-window argmins lost co-window
+    # top-r members on clustered data (benchmarks/diag_path_recall.py), and
+    # top-wq windows by true min provably contain every true top-r member's
+    # window. Windows here are CONSECUTIVE codes (row order), so expansion
+    # is win*window + arange(window).
+    screen_v, selq = exact_screen_smallest(cv_q, wq)
     sel_ai = selq // c
+    sel_win = selq % c
     sel_pair = jnp.arange(q, dtype=jnp.int32)[:, None] * ma + sel_ai
-    cand_local = jnp.take_along_axis(rows_local.reshape(q, ma * c), selq, axis=1)
     sel_part = _select_cols(parts, sel_ai, ma)
-    cand_global = sel_part * part_pad + cand_local
+    all_rows = (
+        sel_win[..., None] * window
+        + jnp.arange(window, dtype=jnp.int32)
+    )                                                 # (Q, wq, window) local
+    sz_sel = index.part_sizes[sel_part]
+    member_ok = (
+        (all_rows < sz_sel[..., None]) & jnp.isfinite(screen_v)[..., None]
+    )
+    rows_cl = jnp.minimum(all_rows, jnp.maximum(sz_sel - 1, 0)[..., None])
+    cand_global = (
+        sel_part[..., None] * part_pad + rows_cl
+    ).reshape(q, wq * window)
     cand_lab = index.labels.reshape(-1)[cand_global]
 
-    # Exact reconstruction rerank of the winners: decode wq codes per query
-    # and measure against each candidate's own rotated residual query.
+    # Exact reconstruction rerank of every member: decode wq*window codes
+    # per query and measure against each candidate's own rotated residual
+    # query.
     from qadc_tpu.core.packing import gather_codes_row128
 
     cand_codes = gather_codes_row128(
         index.codes.reshape(-1, 128), cand_global, cb
     )
-    idx16 = unpack_codes(cand_codes, m, 16)           # (Q, wq, M)
-    dec = decode_rows(index.pq, idx16)                # (Q, wq, dim)
-    qvec = rotq[sel_pair]                             # (Q, wq, dim)
+    idx16 = unpack_codes(cand_codes, m, 16)           # (Q, wq*window, M)
+    dec = decode_rows(index.pq, idx16)                # (Q, wq*window, dim)
+    qvec = rotq[jnp.repeat(sel_pair, window, axis=1)]  # (Q, wq*window, dim)
     fd = jnp.sum((qvec - dec) ** 2, axis=-1)
-    fd = jnp.where(jnp.isfinite(screen_v), fd, jnp.inf)
-    if r > wq:
-        fd = jnp.pad(fd, [(0, 0), (0, r - wq)], constant_values=jnp.inf)
-        cand_lab = jnp.pad(cand_lab, [(0, 0), (0, r - wq)])
+    fd = jnp.where(member_ok.reshape(q, wq * window), fd, jnp.inf)
+    if r > wq * window:
+        fd = jnp.pad(fd, [(0, 0), (0, r - wq * window)], constant_values=jnp.inf)
+        cand_lab = jnp.pad(cand_lab, [(0, 0), (0, r - wq * window)])
     return topk_smallest(fd, cand_lab, r)
 
 
@@ -606,8 +647,9 @@ def _search_adc4_grouped_impl(
 
     wq = min(2 * r, ma * c)
     cv_q = cv.reshape(q, ma * c)
-    neg, selq = jax.lax.top_k(-cv_q, wq)                  # EXACT window screen
-    screen_v = -neg
+    # EXACT window screen; the sort cascade beats the K-dominated TopK
+    # custom call at ma*C widths (ops/topk.py), identical selection/ties.
+    screen_v, selq = exact_screen_smallest(cv_q, wq)
     sel_ai = selq // c
     sel_wi = selq % c
     sel_pair = jnp.arange(q, dtype=jnp.int32)[:, None] * ma + sel_ai
@@ -962,14 +1004,19 @@ def _search_qadc_direct_impl(
         )
 
         blk_rows = rows_adc_block_rows(rpp)
-        sz_rows = -(-index.part_sizes[pflat] // cpr)      # rows with real codes
+        sz_flat = index.part_sizes[pflat]                 # real codes per pair
+        sz_rows = -(-sz_flat // cpr)                      # rows with real codes
         d = rows_adc_grouped_prefetch(
             index.codes.reshape(-1, 128), pflat, tlo, thi, rpp, cb=cb,
             interpret=interpret, compact_out=True,
             group_nblk=jnp.clip(
                 (sz_rows + blk_rows - 1) // blk_rows, 1, rpp // blk_rows
             ).astype(jnp.int32),
+            # Validity masking fuses into the kernel epilogue (MASK_BIG into
+            # padding outputs) — no separate compare+where pass below.
+            mask_sizes=sz_flat,
         )                                                  # (QA*cpr, rpp)
+        pre_masked = True
     else:
         grow = (
             pflat[:, None] * rpp + jnp.arange(rpp, dtype=jnp.int32)[None, :]
@@ -979,20 +1026,36 @@ def _search_qadc_direct_impl(
         d = rows_adc(rows, tlo[pair], thi[pair], cb, interpret=interpret)
         # Match the kernel's compact transposed layout: (QA, cpr, rpp).
         d = d.reshape(qa, rpp, cpr).transpose(0, 2, 1)
+        pre_masked = False
     # Compact layout: flat column f of a pair = c*rpp + rr holds the code at
-    # local id rr*cpr + c.
-    d = d.reshape(q, ma * index.part_pad)
-    sz = index.part_sizes[parts]                          # (Q, ma)
-    col = jnp.arange(index.part_pad, dtype=jnp.int32)
-    code_of_col = (col % rpp) * cpr + col // rpp          # column -> local id
-    valid = (
-        code_of_col[None, None, :] < sz[:, :, None]
-    ).reshape(q, ma * index.part_pad)
+    # local id rr*cpr + c. INTERLEAVE assignments (column j = col*ma + a):
+    # the screen below is a contiguous segment-min reduction, and a
+    # partition's codes laid out contiguously put a clustered true top-r
+    # into few segments — measured -0.03 recall@100 at 1M clustered
+    # geometry (benchmarks/diag_path_recall.py). At stride ma, one
+    # partition's neighbors land in different segments; the relayout is one
+    # (Q, ma, pad) transpose (~0.4 MB at b=1).
+    d = (
+        d.reshape(q, ma, index.part_pad)
+        .transpose(0, 2, 1)
+        .reshape(q, index.part_pad * ma)
+    )
     # Finite sentinel (not +inf): the sentinel flows through the screen when
     # fewer than wq valid candidates exist, and 0 * inf would NaN any matmul
-    # it later touched; restored to +inf after the final top-k.
-    big = jnp.float32(3.0e38)
-    d = jnp.where(valid, d, big)
+    # it later touched; restored to +inf after the final top-k. The kernel
+    # path writes it in its fused epilogue (mask_sizes); the jnp path masks
+    # here.
+    big = jnp.float32(MASK_BIG)
+    if not pre_masked:
+        sz = index.part_sizes[parts]                      # (Q, ma)
+        col = jnp.arange(index.part_pad, dtype=jnp.int32)
+        code_of_col = (col % rpp) * cpr + col // rpp      # column -> local id
+        valid = (
+            (code_of_col[None, None, :] < sz[:, :, None])
+            .transpose(0, 2, 1)
+            .reshape(q, index.part_pad * ma)
+        )
+        d = jnp.where(valid, d, big)
     wq = min(2 * r, d.shape[1])
     # Screen on f32, NOT bf16: this path ranks by exact float distances, and
     # bf16 rounding collapses them into ~0.4%-wide plateaus — the wq boundary
@@ -1013,9 +1076,9 @@ def _search_qadc_direct_impl(
     # gather + take_along was ~14 us of the b=1 budget): column j belongs to
     # assignment j // part_pad; ma is small, so select-accumulate the
     # partition ids, then one (Q, wq) element gather from the label table.
-    a_id = si // index.part_pad
+    a_id = si % ma                                        # interleaved layout
     part_sel = _select_cols(parts, a_id, ma)              # (Q, wq) int32
-    within = si % index.part_pad                          # compact column
+    within = si // ma                                     # compact column
     code_local = (within % rpp) * cpr + within // rpp     # -> local code id
     sl = index.labels.reshape(-1)[part_sel * index.part_pad + code_local]
     if r > wq:  # tiny probed volume: pad to the (Q, r) contract
@@ -1101,22 +1164,18 @@ def _search_qadc_grouped_impl(
     # Q x 2r x W instead of Q x ma x r x W).
     wq = min(2 * r, ma * c)
     cv_q = cv.reshape(q, ma * c)
-    if rerank:
-        # Window minima are int8-table sums (|v| <= ~2k): screen them in bf16
-        # on TPU (halves approx_min_k's input bytes). bf16 is exact to 256 and
-        # within 8 counts above — swaps only near-tied windows across the
-        # wq = 2r boundary, absorbed by the exact whole-window rerank.
-        from qadc_tpu.ops.topk import bf16_screen
-
-        # screen_v only feeds an isfinite() dead-slot mask downstream, so the
-        # bf16 values are enough — no exact-value regather.
-        screen_v, selq = screen_smallest(bf16_screen(cv_q), wq)  # into ma*C
-    else:
-        # Reference-style ranking must be EXACT top-r by quantized distance:
-        # exact window selection (top-wq windows by min with wq >= r provably
-        # contain the true top-r) + exact ranking of the full expansion.
-        neg, selq = jax.lax.top_k(-cv_q, wq)
-        screen_v = -neg
+    # EXACT window screen (sort cascade, ops.topk.exact_screen_smallest).
+    # Exactness matters twice: (1) top-wq windows by true window min with
+    # wq >= r provably contain every true top-r member's window (wq windows
+    # with smaller minima would be wq better codes); the approx segment-min
+    # screen violated this on clustered data — whole windows of the true
+    # top-100 landed in one segment and were dropped, measured -0.02
+    # recall@100 at 1M (benchmarks/diag_path_recall.py: rerank 0.9102 vs
+    # no-rerank's exact-screen 0.9297). (2) no-rerank mode must rank by
+    # quantized distance exactly (reference semantics). Width is only ma*C
+    # (thousands), where the cascade beats both approx_min_k + regather and
+    # the K-dominated TopK custom call (see ops/topk.py).
+    screen_v, selq = exact_screen_smallest(cv_q, wq)      # (Q, wq) into ma*C
     sel_ai = selq // c                                     # assignment index
     sel_wi = selq % c                                      # window in partition
     sel_pair = jnp.arange(q, dtype=jnp.int32)[:, None] * ma + sel_ai  # (Q, wq)

@@ -855,12 +855,19 @@ def rows_adc_block_rows(rows_per_part: int) -> int:
     return math.gcd(256, rows_per_part)
 
 
+# Finite sentinel written into masked (padding) outputs: callers screen on
+# it and restore +inf after the final top-k (0 * inf would NaN any matmul
+# the screened values later touch — see index/ivf.py's direct path).
+MASK_BIG = 3.0e38
+
+
 @functools.partial(
     jax.jit, static_argnames=("rows_per_part", "cb", "interpret", "compact_out")
 )
 def rows_adc_grouped_prefetch(
     codes_rows, group_part, tlo_c, thi_c, rows_per_part: int, cb: int = 8,
     interpret: bool = False, group_nblk=None, compact_out: bool = False,
+    mask_sizes=None,
 ):
     """Float ADC over whole partitions read IN PLACE (scalar prefetch).
 
@@ -878,12 +885,18 @@ def rows_adc_grouped_prefetch(
       rows_per_part: padded partition size in row128 ROWS (static).
       group_nblk: optional (GCAP,) int32 live block count per group (blocks
         of rows_adc_block_rows(rows_per_part) ROWS) — ragged-partition
-        trimming, see lut_scan_grouped_prefetch. Trimmed steps write 0 rows;
-        callers mask by real partition size.
+        trimming, see lut_scan_grouped_prefetch. Trimmed steps write 0 rows
+        (MASK_BIG when mask_sizes is given); callers mask by real partition
+        size unless mask_sizes does it for them.
       compact_out: fuse the per-code selector reduction into the kernel and
         emit (GCAP * cpr, rows_per_part) f32 — row gi*cpr + c, column rr is
         the distance of code rr*cpr + c of group gi's partition. 128/cpr x
         less output HBM and one fewer XLA stage on the b=1 direct path.
+      mask_sizes: optional (GCAP,) int32 real CODE count per group. When
+        given, outputs for codes at or past each group's count hold MASK_BIG
+        — the validity masking fuses into the kernel epilogue (saves the
+        caller's separate compare+where pass over the whole distance array,
+        ~7 us of the b=1 budget).
 
     Returns:
       (GCAP * rows_per_part, 128) f32 lane sums, group-major; reduce bytes
@@ -924,21 +937,41 @@ def rows_adc_grouped_prefetch(
         body = functools.partial(_rows_adc_group_kernel, cb=cb)
     if group_nblk is None:
         group_nblk = jnp.full((gcap,), nblocks, jnp.int32)
+    mask_fused = mask_sizes is not None and fuse_c
+    gsz = (
+        jnp.full((gcap,), rows_per_part * cpr, jnp.int32)
+        if mask_sizes is None
+        else jnp.asarray(mask_sizes, jnp.int32)
+    )
 
-    def kernel(gp_ref, gnb_ref, *rest):  # scalar-prefetch refs arrive first
+    def kernel(gp_ref, gnb_ref, gsz_ref, *rest):  # scalar prefetch first
         i = pl.program_id(0)
         live = (i % nblocks) < gnb_ref[i // nblocks]
+        acc_ref = rest[-1]
 
         @pl.when(live)
         def _():
             body(*rest)
+            if mask_fused:
+                # Fused validity mask: output block (cpr, blk) — row c,
+                # column rr_local; code local id = rr_global*cpr + c.
+                rr = (i % nblocks) * blk + jax.lax.broadcasted_iota(
+                    jnp.int32, (cpr, blk), 1
+                )
+                code_id = rr * cpr + jax.lax.broadcasted_iota(
+                    jnp.int32, (cpr, blk), 0
+                )
+                acc_ref[...] = jnp.where(
+                    code_id < gsz_ref[i // nblocks], acc_ref[...], MASK_BIG
+                )
 
         @pl.when(jnp.logical_not(live))
         def _():
-            acc_ref = rest[-1]
-            acc_ref[...] = jnp.zeros(acc_ref.shape, jnp.float32)
+            acc_ref[...] = jnp.full(
+                acc_ref.shape, MASK_BIG if mask_fused else 0.0, jnp.float32
+            )
 
-    def codes_map(i, gp, gnb):
+    def codes_map(i, gp, gnb, gsz_):
         # Trimmed steps re-read the last live block (no DMA; see
         # lut_scan_grouped_prefetch).
         return (
@@ -950,29 +983,31 @@ def rows_adc_grouped_prefetch(
     in_specs = [
         pl.BlockSpec((blk, 128), codes_map),
     ] + [
-        pl.BlockSpec((8, 128), lambda i, gp, gnb: (i // nblocks, 0))
+        pl.BlockSpec((8, 128), lambda i, gp, gnb, gsz_: (i // nblocks, 0))
         for _ in range(2 * h_count)
     ]
-    operands = [group_part, group_nblk, codes_rows, *halves]
+    operands = [group_part, group_nblk, gsz, codes_rows, *halves]
     if fuse_c:
         # 0/1 selector, 128 lanes (only the first cpr columns live): the
         # fused reduction matmul needs full-lane operands.
         smat = jnp.zeros((128, 128), jnp.float32).at[
             jnp.arange(128), jnp.arange(128) // cb
         ].set(1.0)
-        in_specs.append(pl.BlockSpec((128, 128), lambda i, gp, gnb: (0, 0)))
+        in_specs.append(
+            pl.BlockSpec((128, 128), lambda i, gp, gnb, gsz_: (0, 0))
+        )
         operands.append(smat)
         out_specs = pl.BlockSpec(
-            (cpr, blk), lambda i, gp, gnb: (i // nblocks, i % nblocks)
+            (cpr, blk), lambda i, gp, gnb, gsz_: (i // nblocks, i % nblocks)
         )
         # rows_per_part is in ROWS of 128 bytes; each block covers blk rows ->
         # blk output columns (one per storage row): total columns = rows_per_part.
         out_shape = jax.ShapeDtypeStruct((gcap * cpr, rows_per_part), jnp.float32)
     else:
-        out_specs = pl.BlockSpec((blk, 128), lambda i, gp, gnb: (i, 0))
+        out_specs = pl.BlockSpec((blk, 128), lambda i, gp, gnb, gsz_: (i, 0))
         out_shape = jax.ShapeDtypeStruct((gcap * rows_per_part, 128), jnp.float32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(gcap * nblocks,),
         in_specs=in_specs,
         out_specs=out_specs,
@@ -998,6 +1033,23 @@ def rows_adc_grouped_prefetch(
             d.reshape(gcap, rows_per_part, cpr)
             .transpose(0, 2, 1)
             .reshape(gcap * cpr, rows_per_part)
+        )
+        if mask_sizes is not None:  # same contract as the fused epilogue
+            rr = jnp.arange(rows_per_part, dtype=jnp.int32)
+            c_row = jnp.arange(cpr, dtype=jnp.int32)
+            code_id = rr[None, None, :] * cpr + c_row[None, :, None]
+            ok = code_id < gsz[:, None, None]
+            out = jnp.where(
+                ok.reshape(gcap * cpr, rows_per_part), out, MASK_BIG
+            )
+    elif mask_sizes is not None and not compact_out:
+        # Lane-sum layout: row g*rpp + rr, lane l -> code rr*cpr + l//cb.
+        rr = jnp.arange(rows_per_part, dtype=jnp.int32)
+        lane_c = jnp.arange(128, dtype=jnp.int32) // cb
+        code_id = rr[None, :, None] * cpr + lane_c[None, None, :]
+        ok = code_id < gsz[:, None, None]
+        out = jnp.where(
+            ok.reshape(gcap * rows_per_part, 128), out, MASK_BIG
         )
     return out
 
