@@ -68,25 +68,31 @@ def main():
         )
 
     def mask(idx, parts, d, q):
-        # Production relayout: assignment-INTERLEAVED columns (j = col*ma + a
-        # — spreads clustered partitions across the screen's contiguous
-        # segments). Validity masking itself is fused into the kernel.
-        return (
-            d.reshape(q, ma, idx.part_pad)
-            .transpose(0, 2, 1)
-            .reshape(q, idx.part_pad * ma)
-        )
+        # Validity masking is fused into the kernel epilogue (mask_sizes);
+        # this stage is now just the (Q, width) view for the screen.
+        return d.reshape(q, ma * idx.part_pad)
 
     def screen(idx, parts, d, q, wq):
-        # Production screen: f32 (exact values; see ivf.py's bf16 plateau
-        # note), winners-only label reconstruction via select-accumulate.
+        # Production screen: EXACT tile-min cascade + whole-tile expansion
+        # (f32 — see ivf.py's bf16 plateau note), winners-only label
+        # reconstruction via select-accumulate.
         from qadc_tpu.index.ivf import _select_cols
+        from qadc_tpu.ops.topk import exact_screen_smallest
 
-        _, si = screen_smallest(d, wq)
-        sv = jnp.take_along_axis(d, si, axis=-1)
-        a_id = si % ma
+        tile = 32
+        ntiles = d.shape[1] // tile
+        dm = d.reshape(q, ntiles, tile)
+        mins = jnp.min(dm, axis=-1)
+        wq_t = min(2 * r, ntiles)
+        _, ti = exact_screen_smallest(mins, wq_t)
+        cand = jnp.take_along_axis(dm, ti[..., None], axis=1)
+        sv, si2 = exact_screen_smallest(cand.reshape(q, wq_t * tile), wq)
+        col = (
+            jnp.take_along_axis(ti, si2 // tile, axis=-1) * tile + si2 % tile
+        )
+        a_id = col // idx.part_pad
+        within = col % idx.part_pad
         part_sel = _select_cols(parts, a_id, ma)
-        within = si // ma
         code_local = (within % rpp) * cpr + within // rpp
         sl = idx.labels.reshape(-1)[part_sel * idx.part_pad + code_local]
         return sv, sl
@@ -107,7 +113,10 @@ def main():
             d = mask(idx, parts, d, q)
             if upto == 3:
                 return d[0, 0]
-            sv, sl = screen(idx, parts, d, q, min(2 * r, d.shape[1]))
+            sv, sl = screen(
+                idx, parts, d, q,
+                min(2 * r, ma * min(r, index.part_pad)),
+            )
             if upto == 4:
                 return sv[0, 0]
             fv, fl = topk_smallest(sv, sl, r)

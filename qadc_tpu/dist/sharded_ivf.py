@@ -284,11 +284,11 @@ def _search_impl(
             # (local, shared 2-D-shaped helper — index.ivf.window_rerank).
             wq = min(2 * r, ma * c)
             cv_q = cv.reshape(qc, ma * c)
-            # bf16 screen on TPU (see index.ivf._search_qadc_grouped_impl):
-            # screen_v only feeds the isfinite dead-slot mask in window_rerank.
-            from qadc_tpu.ops.topk import bf16_screen
+            # EXACT window screen (see index.ivf._search_qadc_grouped_impl:
+            # the approx bf16 segment screen dropped whole clustered windows).
+            from qadc_tpu.ops.topk import exact_tile_screen
 
-            screen_v, selq = screen_smallest(bf16_screen(cv_q), wq)
+            screen_v, selq = exact_tile_screen(cv_q, wq)
             sel_ai = selq // c
             sel_wi = selq % c
             sel_pair = jnp.arange(qc, dtype=jnp.int32)[:, None] * ma + sel_ai

@@ -169,15 +169,16 @@ def window_search_rows(
     all_rows = slots_to_rows(window_slots(win_ids, block_n, window), block_n, cb)
     has_valid = jnp.min(all_rows, axis=1)[None, :] < size
     vals_t = jnp.where(has_valid, vals_t, jnp.inf)
-    if exact_screen:
-        neg, sel = jax.lax.top_k(-vals_t, wq)
-        screen_v = -neg
-    else:
-        # bf16 screen on TPU (halves approx_min_k bytes); screen_v only
-        # feeds window_rerank's isfinite dead-slot mask.
-        from qadc_tpu.ops.topk import bf16_screen
+    # EXACT window screen both ways (ops.topk.exact_tile_screen): top-wq
+    # windows by true min provably contain every true top-r member's window
+    # (the rerank expands whole windows); the approx bf16 segment screen
+    # dropped whole clustered windows (round-4 diag_path_recall.py findings
+    # on the IVF twin of this path). exact_screen formerly selected the
+    # K-dominated lax.top_k; the cascade is both exact and cheaper.
+    del exact_screen
+    from qadc_tpu.ops.topk import exact_tile_screen
 
-        screen_v, sel = screen_smallest(bf16_screen(vals_t), wq)
+    screen_v, sel = exact_tile_screen(vals_t, wq)
     sel_part = jnp.zeros((q, wq), jnp.int32)
     sel_pair = jnp.broadcast_to(jnp.arange(q, dtype=jnp.int32)[:, None], (q, wq))
     sel_sz = jnp.broadcast_to(jnp.asarray(size, jnp.int32), (q, wq))
@@ -369,17 +370,31 @@ def search_adc(
             )
             rows = rows + ri * range_codes                # global row ids
             vals = jnp.where(rows < index.n, vals.astype(jnp.float32), jnp.inf)
-            vals_t, rows_t = vals[:q], rows[:q]
-            rr = min(2 * r, vals_t.shape[1])
-            screen_v, sel = screen_smallest(vals_t, rr)
-            cand = jnp.take_along_axis(rows_t, sel, axis=1)  # (Q, rr) row ids
+            vals_t = vals[:q]
+            # EXACT window screen + whole-window expansion (the round-4
+            # recall-integrity contract, see the IVF 8-bit twin): ranking
+            # only per-window argmins lost co-window top-r members on
+            # clustered data. wq >= r suffices under an exact screen; the
+            # margin absorbs the kernel's bf16-table rounding of minima.
+            from qadc_tpu.ops.topk import exact_tile_screen
+
+            ww = min(r + max(16, r // 8), vals_t.shape[1])
+            screen_v, sel = exact_tile_screen(vals_t, ww)  # (Q, ww) windows
+            members = slots_to_rows(
+                window_slots(sel, 256, DEFAULT_WINDOW), 256, cb
+            ) + ri * range_codes                           # (Q, ww, W) rows
+            ok = (members < index.n) & jnp.isfinite(screen_v)[..., None]
+            members = jnp.minimum(members, index.n - 1)
+            cand = members.reshape(q, ww * DEFAULT_WINDOW)
             cand_codes = gather_codes_row128(index.codes, cand, cb)
             fd = _exact_rerank(tables, cand_codes, index.pq.sq_bits)
-            fd = jnp.where(jnp.isfinite(screen_v), fd, jnp.inf)
+            fd = jnp.where(ok.reshape(q, -1), fd, jnp.inf)
+            lab = index.labels[cand]
+            rr = cand.shape[1]
             if rr < r:
                 fd = jnp.pad(fd, [(0, 0), (0, r - rr)], constant_values=jnp.inf)
-                cand = jnp.pad(cand, [(0, 0), (0, r - rr)])
-            dv, dl = topk_smallest(fd, cand, r)
+                lab = jnp.pad(lab, [(0, 0), (0, r - rr)])
+            dv, dl = topk_smallest(fd, lab, r)
             best = (dv, dl) if best is None else merge_topk(*best, dv, dl, r)
         return best
     packed = row128_to_codes(index.codes, cb)

@@ -40,6 +40,7 @@ from qadc_tpu.ops.quantization import (
 from qadc_tpu.ops.tables import adc_tables
 from qadc_tpu.ops.topk import (
     exact_screen_smallest,
+    exact_tile_screen,
     merge_topk,
     screen_smallest,
     topk_smallest,
@@ -408,13 +409,19 @@ def _search_adc8_grouped_impl(
     # whole-window expansion is the same shape the 4-bit path's
     # window_rerank uses and restores oracle parity up to window-screen
     # misses (a lost entry now needs its whole WINDOW to miss the wq cut).
-    wq = min(2 * r, ma * c)
+    # wq >= r suffices for containment under an EXACT screen (r windows with
+    # smaller true minima would hold r better codes); the margin absorbs the
+    # kernel's bf16-table rounding of window minima (~0.4% relative) near
+    # the cut. Expansion volume is wq*window candidates/query of exact-f32
+    # element gathers — the dominant rerank cost, so wq is kept tight
+    # (2r measured +90% on the b=32 e2e vs this).
+    wq = min(r + max(16, r // 8), ma * c)
     cv_q = cv.reshape(q, ma * c)
     # EXACT window screen: with whole-window expansion below, top-wq windows
     # by true min (wq >= r) provably contain every true top-r member's
     # window; the approx segment screen dropped clustered windows (measured,
     # benchmarks/diag_path_recall.py). Width is only ma*C — cascade regime.
-    screen_v, selq = exact_screen_smallest(cv_q, wq)      # (Q, wq) into ma*C
+    screen_v, selq = exact_tile_screen(cv_q, wq)      # (Q, wq) into ma*C
     sel_ai = selq // c
     sel_win = selq % c                                    # window id in its partition
     sel_pair = jnp.arange(q, dtype=jnp.int32)[:, None] * ma + sel_ai
@@ -538,7 +545,10 @@ def _search_adc16_grouped_impl(
     )
     cv = jnp.where(win_has_valid & keep, cv, jnp.inf)
 
-    wq = min(2 * r, ma * c)
+    # wq >= r suffices under an exact screen (see the 8-bit path); the
+    # margin absorbs decode/window-min rounding near the cut, and expansion
+    # volume (wq*window decodes) is the dominant rerank cost.
+    wq = min(r + max(16, r // 8), ma * c)
     cv_q = cv.reshape(q, ma * c)
     # EXACT window screen + whole-window expansion (same contract as the
     # 4/8-bit grouped paths): ranking only per-window argmins lost co-window
@@ -546,7 +556,7 @@ def _search_adc16_grouped_impl(
     # top-wq windows by true min provably contain every true top-r member's
     # window. Windows here are CONSECUTIVE codes (row order), so expansion
     # is win*window + arange(window).
-    screen_v, selq = exact_screen_smallest(cv_q, wq)
+    screen_v, selq = exact_tile_screen(cv_q, wq)
     sel_ai = selq // c
     sel_win = selq % c
     sel_pair = jnp.arange(q, dtype=jnp.int32)[:, None] * ma + sel_ai
@@ -649,7 +659,7 @@ def _search_adc4_grouped_impl(
     cv_q = cv.reshape(q, ma * c)
     # EXACT window screen; the sort cascade beats the K-dominated TopK
     # custom call at ma*C widths (ops/topk.py), identical selection/ties.
-    screen_v, selq = exact_screen_smallest(cv_q, wq)
+    screen_v, selq = exact_tile_screen(cv_q, wq)
     sel_ai = selq // c
     sel_wi = selq % c
     sel_pair = jnp.arange(q, dtype=jnp.int32)[:, None] * ma + sel_ai
@@ -1028,18 +1038,7 @@ def _search_qadc_direct_impl(
         d = d.reshape(qa, rpp, cpr).transpose(0, 2, 1)
         pre_masked = False
     # Compact layout: flat column f of a pair = c*rpp + rr holds the code at
-    # local id rr*cpr + c. INTERLEAVE assignments (column j = col*ma + a):
-    # the screen below is a contiguous segment-min reduction, and a
-    # partition's codes laid out contiguously put a clustered true top-r
-    # into few segments — measured -0.03 recall@100 at 1M clustered
-    # geometry (benchmarks/diag_path_recall.py). At stride ma, one
-    # partition's neighbors land in different segments; the relayout is one
-    # (Q, ma, pad) transpose (~0.4 MB at b=1).
-    d = (
-        d.reshape(q, ma, index.part_pad)
-        .transpose(0, 2, 1)
-        .reshape(q, index.part_pad * ma)
-    )
+    # local id rr*cpr + c.
     # Finite sentinel (not +inf): the sentinel flows through the screen when
     # fewer than wq valid candidates exist, and 0 * inf would NaN any matmul
     # it later touched; restored to +inf after the final top-k. The kernel
@@ -1050,35 +1049,30 @@ def _search_qadc_direct_impl(
         sz = index.part_sizes[parts]                      # (Q, ma)
         col = jnp.arange(index.part_pad, dtype=jnp.int32)
         code_of_col = (col % rpp) * cpr + col // rpp      # column -> local id
-        valid = (
-            (code_of_col[None, None, :] < sz[:, :, None])
-            .transpose(0, 2, 1)
-            .reshape(q, index.part_pad * ma)
+        valid = (code_of_col[None, None, :] < sz[:, :, None]).reshape(
+            q, ma * index.part_pad
         )
+        d = d.reshape(q, ma * index.part_pad)
         d = jnp.where(valid, d, big)
-    wq = min(2 * r, d.shape[1])
-    # Screen on f32, NOT bf16: this path ranks by exact float distances, and
-    # bf16 rounding collapses them into ~0.4%-wide plateaus — the wq boundary
-    # then cuts arbitrarily through a tie-plateau that contains true top-r
-    # members (measured: top-100 capture 0.86 with a bf16 screen vs 1.00 with
-    # f32 on clustered data, benchmarks/diag_screen_capture.py). The f32
-    # reduce costs only 2x the screen's input bytes (~0.4 MB at b=1). The
-    # grouped pipeline keeps its bf16 screen: its window minima are already
-    # int8-quantized, so bf16 adds nothing there (recall A/B in smoke).
-    from qadc_tpu.ops.topk import exact_screen_smallest
-
-    if exact:
-        _, si = exact_screen_smallest(d, wq)
-    else:
-        _, si = screen_smallest(d, wq)
-    sv = jnp.take_along_axis(d, si, axis=-1)              # (Q, wq) tiny gather
+    width = ma * index.part_pad
+    d = d.reshape(q, width)
+    # EXACT screen (ops.topk.exact_tile_screen): provably captures the
+    # probed top-r by construction, on f32 — bf16 collapses exact distances
+    # into tie plateaus (benchmarks/diag_screen_capture.py). This replaced
+    # approx_min_k's segment-min whole-row screen, whose capture depended on
+    # how the data's clusters landed in its contiguous segments (measured
+    # 0.85-1.00 across clustered shapes, benchmarks/diag_path_recall.py +
+    # smoke contract), at ~the same cost (tile minima: 24 vs 22 us at b=1).
+    # `exact` is kept for API compatibility; the default IS exact now.
+    del exact
+    wq = min(2 * r, width)
+    sv, col = exact_tile_screen(d, wq)                    # (Q, wq) global col
+    a_id = col // index.part_pad                          # assignment index
+    within = col % index.part_pad                         # compact column
     # Labels for the wq winners only (the up-front (Q, ma*part_pad) label
-    # gather + take_along was ~14 us of the b=1 budget): column j belongs to
-    # assignment j // part_pad; ma is small, so select-accumulate the
-    # partition ids, then one (Q, wq) element gather from the label table.
-    a_id = si % ma                                        # interleaved layout
+    # gather + take_along was ~14 us of the b=1 budget): ma is small, so
+    # select-accumulate the partition ids, then one (Q, wq) element gather.
     part_sel = _select_cols(parts, a_id, ma)              # (Q, wq) int32
-    within = si // ma                                     # compact column
     code_local = (within % rpp) * cpr + within // rpp     # -> local code id
     sl = index.labels.reshape(-1)[part_sel * index.part_pad + code_local]
     if r > wq:  # tiny probed volume: pad to the (Q, r) contract
@@ -1175,7 +1169,7 @@ def _search_qadc_grouped_impl(
     # quantized distance exactly (reference semantics). Width is only ma*C
     # (thousands), where the cascade beats both approx_min_k + regather and
     # the K-dominated TopK custom call (see ops/topk.py).
-    screen_v, selq = exact_screen_smallest(cv_q, wq)      # (Q, wq) into ma*C
+    screen_v, selq = exact_tile_screen(cv_q, wq)      # (Q, wq) into ma*C
     sel_ai = selq // c                                     # assignment index
     sel_wi = selq % c                                      # window in partition
     sel_pair = jnp.arange(q, dtype=jnp.int32)[:, None] * ma + sel_ai  # (Q, wq)
@@ -1357,10 +1351,11 @@ def search_qadc(
     b=1 engine, query_common.hpp:245-309). Default: on TPU when rerank is on,
     saturate is off, and the probed volume is small (<= DIRECT_MAX_CODES).
     Results rank by exact distance, so recall >= the screened pipeline's.
-    exact: (direct path only) screen with the exact sort cascade instead of
-    the segment-min reduction — oracle-exact top-r ranking at +~30-60 us per
-    b=1 query. The default screen already preserves the global minimum (t=1
-    recall unaffected) and ~99% of deep ranks.
+    exact: retained for API compatibility — the direct path's screen is now
+    ALWAYS exact (per-partition sort cascade + exact merge; every true
+    top-r member is in its own partition's top-r by construction). The
+    former approx segment-min screen's capture depended on how clusters
+    landed in its contiguous segments (0.85-1.00 measured across shapes).
     scan_budget_bytes: memory governor — grouped-path query batches whose
     scan transients would exceed this are chunked (default SCAN_BUDGET_BYTES,
     the analog of the reference's TABLES_BUFFER_SIZE batch sizing,

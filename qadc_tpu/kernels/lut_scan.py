@@ -1424,10 +1424,10 @@ def lut_scan_topk_int8(
         interpret=interpret, with_rows=True,
     )
     # Mask candidates from padded rows (window minima can come from padding).
-    from qadc_tpu.ops.topk import screen_smallest
+    from qadc_tpu.ops.topk import exact_tile_screen
 
     vals_t = jnp.where(rows < num_valid, vals.astype(jnp.float32), jnp.inf).T[:q]
     rows_t = rows.T[:q]
-    out_v, sel = screen_smallest(vals_t, min(r, vals_t.shape[1]))
+    out_v, sel = exact_tile_screen(vals_t, min(r, vals_t.shape[1]))
     out_rows = jnp.take_along_axis(rows_t, sel, axis=1)
     return out_v, out_rows

@@ -162,6 +162,51 @@ def exact_screen_smallest(vals, k: int):
     return v[:, :k].reshape(*lead, k), idx[:, :k].reshape(*lead, k)
 
 
+def exact_tile_screen(vals, k: int, tile: int = 32):
+    """EXACT k-smallest + indices along the last axis, via tile minima.
+
+    Same contract as exact_screen_smallest, at a fraction of the sort
+    volume: reduce the row to N/tile tile-minima (one cheap VPU reduce),
+    exactly screen THOSE, row-gather the winning tiles' members (contiguous
+    tile-f32 slices — near-bandwidth, unlike element gathers), and exactly
+    screen the k*tile members. Containment is provable: a true top-k
+    element's tile min <= its value, so if its tile missed the top-k tile
+    cut, k tiles with smaller minima would hold k smaller elements —
+    contradiction. Ties at the tile boundary resolve by (tile, position)
+    stable order: a valid top-k by value (tie ORDER may differ from
+    lax.top_k when equal values straddle the cut).
+
+    Measured on the b=1 direct path (width 98304, k=200, v5e): 24 us vs
+    56 us for the full per-chunk cascade and 22 us for the approx
+    segment-min screen whose capture was data-dependent (0.85-1.00).
+    """
+    w = vals.shape[-1]
+    if w <= max(4 * tile, k * 2 * tile, SORT_TOPK_MAX_C):
+        return exact_screen_smallest(vals, k)  # tiling would not shrink
+    lead = vals.shape[:-1]
+    v = jnp.asarray(vals, jnp.float32).reshape(-1, w)
+    pad = (-w) % tile
+    if pad:
+        v = jnp.pad(v, [(0, 0), (0, pad)], constant_values=jnp.inf)
+    q, wp = v.shape
+    ntiles = wp // tile
+    dm = v.reshape(q, ntiles, tile)
+    mins = jnp.min(dm, axis=-1)                            # (Q, ntiles)
+    kt = min(k, ntiles)
+    inner = exact_tile_screen if ntiles > 16384 else exact_screen_smallest
+    _, ti = inner(mins, kt)                                # exact tile cut
+    cand = jnp.take_along_axis(dm, ti[..., None], axis=1)  # (Q, kt, tile)
+    sv, si = exact_screen_smallest(
+        cand.reshape(q, kt * tile), min(k, kt * tile)
+    )
+    idx = jnp.take_along_axis(ti, si // tile, axis=-1) * tile + si % tile
+    kk = sv.shape[-1]
+    if kk < k:  # row narrower than k after the tile cut: pad the contract
+        sv = jnp.pad(sv, [(0, 0), (0, k - kk)], constant_values=jnp.inf)
+        idx = jnp.pad(idx, [(0, 0), (0, k - kk)])
+    return sv.reshape(*lead, k), idx.reshape(*lead, k)
+
+
 def merge_topk(vals_a, labels_a, vals_b, labels_b, k: int):
     """Merge two per-query candidate sets into the k smallest."""
     vals = jnp.concatenate([vals_a, vals_b], axis=-1)

@@ -240,3 +240,41 @@ def test_grouped_r_exceeds_candidate_volume(rng):
     )
     assert np.asarray(d2).shape == (3, r)
     assert np.isfinite(np.asarray(d2)).sum() <= fin.sum()
+
+
+def test_adc8_grouped_recovers_cowindow_neighbors(rng):
+    """Regression for the clustered-data recall loss (round 4): when several
+    true top-r members share one storage WINDOW, the grouped path must return
+    them all — whole-window expansion, not per-window argmins. Construct a
+    partition whose best `window` codes are CONSECUTIVE (one window) and
+    assert grouped == jnp-oracle labels exactly."""
+    dim, n, parts = 32, 4096, 4
+    # One tight cluster of 16 near-identical rows at the start of the base,
+    # the rest far away: the cluster lands in one partition, consecutive
+    # local ids, i.e., one ROW128 window at cb=8 (cpr=16).
+    hot = rng.normal(scale=0.05, size=(16, dim)).astype(np.float32)
+    cold = rng.normal(scale=1.0, size=(n - 16, dim)).astype(np.float32) + 8.0
+    base = np.concatenate([hot, cold]).astype(np.float32)
+    coarse = ivf.train_coarse(jax.random.PRNGKey(0), base, parts, iters=8)
+    pq = train_pq(jax.random.PRNGKey(1), base, 8, 8, iters=8)
+    index = ivf.add(ivf.IVFIndex.create(pq, coarse), base)
+    queries = jnp.zeros((4, dim), jnp.float32)  # at the hot cluster's center
+
+    d0, l0 = ivf.search_adc(index, queries, r=16, ma=parts)
+    d1, l1 = ivf.search_adc(
+        index, queries, r=16, ma=parts, grouped=True, interpret=True
+    )
+    l0, l1 = np.asarray(l0), np.asarray(l1)
+    # The 16 hot rows are the true top-16 and share one window: the oracle
+    # finds all 16; pre-fix the grouped path returned at most ONE of them
+    # per window plus far-away fillers.
+    hot_found_oracle = np.mean([len(set(l0[i]) & set(range(16))) for i in range(4)])
+    hot_found_grouped = np.mean([len(set(l1[i]) & set(range(16))) for i in range(4)])
+    assert hot_found_oracle >= 15.0, hot_found_oracle
+    assert hot_found_grouped == hot_found_oracle, (
+        hot_found_grouped, hot_found_oracle,
+    )
+    np.testing.assert_allclose(
+        np.sort(np.asarray(d1), -1), np.sort(np.asarray(d0), -1),
+        rtol=1e-4, atol=1e-2,
+    )
