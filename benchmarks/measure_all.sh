@@ -24,4 +24,6 @@ run profile_b128 1200 python benchmarks/profile_b1.py 128
 run deep100m  3600 python benchmarks/deep100m_v2.py
 run ab_kernel 2400 python benchmarks/ab_kernel.py
 run recall_curves 5400 python benchmarks/recall_curves.py
+run recall_gist 5400 python benchmarks/recall_curves.py --geometry gist --small --nq 128
+run serve 2400 python benchmarks/bench_serve.py
 echo "All logs in $OUT/ (stamp $stamp)"

@@ -109,8 +109,12 @@ def train_opq(
         out, _ = jax.lax.scan(step, centroids_m, None, length=kmeans_iters)
         return out
 
+    # x is a jit ARGUMENT, not a closure: closed-over arrays embed as HLO
+    # constants in the compile payload — a 100k x 960-d GIST learn set
+    # (384 MB) exceeds the relay compiler's request limit (HTTP 413) and
+    # would bloat any AOT cache even locally.
     @jax.jit
-    def alternate(rotation, centroids):
+    def alternate(x, rotation, centroids):
         xr = jnp.dot(x, rotation.T, precision=jax.lax.Precision.HIGHEST)
         # (1) Nearest-centroid assignment under current R (encode in rotated space).
         base = ProductQuantizer(centroids=centroids, sq_bits=sq_bits)
@@ -133,7 +137,7 @@ def train_opq(
     del key_iters
     centroids = pq.centroids
     for _ in range(opq_iters):
-        rotation, centroids = alternate(rotation, centroids)
+        rotation, centroids = alternate(x, rotation, centroids)
 
     return OPQQuantizer(
         centroids=centroids, sq_bits=sq_bits, rotation=rotation
