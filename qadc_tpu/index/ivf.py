@@ -247,7 +247,7 @@ def search_adc(
                 index, qs, r, ma, group_size, interpret=interpret
             )
 
-        window8 = min(128 // index.pq.sq_count, 16)
+        window8 = min(128 // index.pq.sq_count, 8)
         chunk = _governed_query_chunk(
             lambda qc: _grouped_scan_bytes(
                 qc, ma, index.part_count, index.part_pad, window8, group_size,
@@ -354,7 +354,12 @@ def _search_adc8_grouped_impl(
     cpr = 128 // m
     block_n = math.gcd(block_n, part_pad)
     if window is None:
-        window = min(cpr, 16)
+        # window=8 measured best after whole-window expansion: the rerank's
+        # wq*window element gathers dominate, so halving the window beats
+        # the doubled minima stream (704 -> 626 us/q b=32 at a skewed 1M
+        # geometry, window=16 vs 8; window=4 adds little more —
+        # benchmarks/ab_adc8_window.py; recall == jnp oracle at both).
+        window = min(cpr, 8)
 
     routed = route_queries(parts, index.part_count, group_size)
     g = routed.group_size
@@ -463,7 +468,7 @@ def _search_adc8_grouped_impl(
 )
 def _search_adc16_grouped_impl(
     index: IVFIndex, queries, r: int, ma: int, group_size: int,
-    window: int = 16, group_chunk: int = 8,
+    window: int = 8, group_chunk: int = 8,
 ):
     """16-bit IVF ADC, grouped: decode each DISTINCT probed partition once.
 

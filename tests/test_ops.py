@@ -159,3 +159,68 @@ def test_exact_screen_smallest_matches_topk():
         top, ti = jax.lax.top_k(-d, k)
         np.testing.assert_array_equal(np.asarray(sv), np.asarray(-top))
         np.testing.assert_array_equal(np.asarray(si), np.asarray(ti))
+
+
+def test_exact_tile_screen_exact_values_all_widths():
+    """The tile screen must return EXACTLY the k smallest VALUES (tie ORDER
+    may differ from lax.top_k across equal values — the set of values and
+    any strictly-smaller element's index must match)."""
+    import jax
+    import jax.numpy as jnp
+
+    from qadc_tpu.ops.topk import exact_tile_screen
+
+    rng = np.random.default_rng(5)
+    for q, c, k in [(3, 700, 100), (2, 13000, 200), (1, 98304, 200),
+                    (2, 24576, 100), (4, 3000, 7), (1, 100000, 64)]:
+        d = jnp.asarray(rng.normal(size=(q, c)).astype(np.float32))
+        sv, si = exact_tile_screen(d, k)
+        top, _ = jax.lax.top_k(-d, k)
+        np.testing.assert_array_equal(np.asarray(sv), np.asarray(-top))
+        # returned indices must point at the returned values
+        np.testing.assert_array_equal(
+            np.take_along_axis(np.asarray(d), np.asarray(si), axis=-1),
+            np.asarray(sv),
+        )
+
+
+def test_exact_tile_screen_clustered_adversarial():
+    """The failure mode the tile screen exists for: ALL true top-k packed
+    into one contiguous span (one partition's worth of clustered neighbors).
+    approx_min_k's segment reduction loses most of them; the tile screen
+    must capture every one."""
+    import jax.numpy as jnp
+
+    from qadc_tpu.ops.topk import exact_tile_screen
+
+    rng = np.random.default_rng(6)
+    c, k = 98304, 100
+    d = rng.uniform(10.0, 20.0, size=(1, c)).astype(np.float32)
+    start = 40960
+    d[0, start : start + k] = rng.uniform(0.0, 1.0, size=k).astype(np.float32)
+    sv, si = exact_tile_screen(jnp.asarray(d), k)
+    got = set(np.asarray(si)[0].tolist())
+    assert got == set(range(start, start + k)), "clustered top-k not captured"
+    np.testing.assert_allclose(
+        np.sort(np.asarray(sv)[0]), np.sort(d[0, start : start + k]), rtol=0
+    )
+
+
+def test_exact_tile_screen_ties_and_infs():
+    """Heavy ties (integer-valued) and +inf dead slots: values must still
+    be the exact k smallest; indices must reference equal values."""
+    import jax.numpy as jnp
+
+    from qadc_tpu.ops.topk import exact_tile_screen
+
+    rng = np.random.default_rng(7)
+    d = rng.integers(0, 5, size=(2, 50000)).astype(np.float32)
+    d[:, 25000:] = np.inf
+    sv, si = exact_tile_screen(jnp.asarray(d), 150)
+    import jax
+
+    top, _ = jax.lax.top_k(-jnp.asarray(d), 150)
+    np.testing.assert_array_equal(np.asarray(sv), np.asarray(-top))
+    np.testing.assert_array_equal(
+        np.take_along_axis(d, np.asarray(si), axis=-1), np.asarray(sv)
+    )

@@ -249,10 +249,13 @@ def test_adc8_grouped_recovers_cowindow_neighbors(rng):
     partition whose best `window` codes are CONSECUTIVE (one window) and
     assert grouped == jnp-oracle labels exactly."""
     dim, n, parts = 32, 4096, 4
-    # One tight cluster of 16 near-identical rows at the start of the base,
-    # the rest far away: the cluster lands in one partition, consecutive
-    # local ids, i.e., one ROW128 window at cb=8 (cpr=16).
-    hot = rng.normal(scale=0.05, size=(16, dim)).astype(np.float32)
+    # One cluster of 16 rows at the start of the base, the rest far away:
+    # the cluster lands in one partition at consecutive local ids (one
+    # ROW128 row at cb=8). Spread 0.3, NOT near-identical — near-identical
+    # points encode to one PQ code and tie exactly, and any top-r cut
+    # through an exact tie is a valid result (the grouped and oracle paths
+    # break value-ties differently).
+    hot = rng.normal(scale=0.3, size=(16, dim)).astype(np.float32)
     cold = rng.normal(scale=1.0, size=(n - 16, dim)).astype(np.float32) + 8.0
     base = np.concatenate([hot, cold]).astype(np.float32)
     coarse = ivf.train_coarse(jax.random.PRNGKey(0), base, parts, iters=8)
