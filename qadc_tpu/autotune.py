@@ -118,6 +118,7 @@ def tune_ivf_qadc(
     k_lo: int = 20,
     k_hi: int = 80,
     verbose: bool = False,
+    interpret: bool = False,
 ) -> dict:
     """Measure the grouped Quick-ADC search over candidate (block_n,
     grouped_window) pairs at this index's geometry and record the winner.
@@ -156,6 +157,7 @@ def tune_ivf_qadc(
             d, _ = ivf.search_qadc(
                 idx, qs + tap * 1e-12, r=r, ma=ma, keep=keep,
                 grouped=True, direct=False, grouped_window=_w, block_n=_bn,
+                interpret=interpret,
             )
             return d[0, 0]
 

@@ -224,6 +224,37 @@ def cmd_info(args):
               f"padded_to={index.part_pad})")
 
 
+def cmd_tune(args):
+    """Measure and record per-geometry kernel parameters for an IVF index.
+
+    No reference analog (its scan blocks are fixed by SIMD register shape);
+    on TPU the right block is a measured property of geometry x compiler —
+    see qadc_tpu/autotune.py. The recorded pick is consumed automatically by
+    subsequent searches of any index with the same geometry (cache file:
+    QADC_AUTOTUNE_CACHE, default ~/.cache/qadc_tpu/autotune.json).
+    """
+    import numpy as np
+
+    from qadc_tpu import autotune
+    from qadc_tpu.index.ivf import IVFIndex
+    from qadc_tpu.io import load_index, load_vectors
+
+    index = load_index(args.index)
+    if not isinstance(index, IVFIndex):
+        raise SystemExit("tune: only IVF indexes have tunable grouped scans")
+    if args.queries:
+        queries = np.asarray(load_vectors(args.queries))[: args.batch]
+    else:
+        rng = np.random.default_rng(0)
+        queries = rng.normal(size=(args.batch, index.pq.dim)).astype(np.float32)
+    pick = autotune.tune_ivf_qadc(
+        index, queries, r=args.r, ma=args.ma, keep=args.keep / 100.0,
+        verbose=True,
+    )
+    key = autotune.geometry_key(index, "ivf_qadc_grouped", queries.shape[0])
+    print(f"recorded {pick} under {key}")
+
+
 def cmd_split(args):
     from qadc_tpu.io import split_vecs
 
@@ -317,6 +348,17 @@ def build_parser():
     c.add_argument("--no-rerank", action="store_true",
                    help="reference-style ranking by quantized distance")
     c.set_defaults(fn=cmd_query)
+
+    c = sub.add_parser(
+        "tune", help="measure + record kernel parameters for this geometry"
+    )
+    c.add_argument("index")
+    c.add_argument("--queries", default=None, help="fvecs/bvecs sample (default: synthetic)")
+    c.add_argument("--batch", type=int, default=32)
+    c.add_argument("-r", type=int, default=100, dest="r")
+    c.add_argument("--ma", type=int, default=24)
+    c.add_argument("--keep", type=float, default=0.213, help="percent, as in query")
+    c.set_defaults(fn=cmd_tune)
 
     c = sub.add_parser("split", help="extract a chunk of a vecs file")
     c.add_argument("chunk_id", type=int)

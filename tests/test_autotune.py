@@ -96,3 +96,17 @@ def test_explicit_args_bypass_tuning(built):
     finally:
         autotune.lookup = orig
     assert called == []
+
+
+def test_tune_records_a_pick_interpret(built):
+    """tune_ivf_qadc (interpret mode on CPU) must measure candidates, pick a
+    winner, and record it under the geometry key."""
+    index, queries = built
+    pick = autotune.tune_ivf_qadc(
+        index, queries, r=20, ma=4, keep=0.05, interpret=True,
+        block_candidates=(512, 1024), k_lo=2, k_hi=4,
+    )
+    assert pick.get("block_n") in (512, 1024)
+    assert pick.get("grouped_window") >= 1
+    key = autotune.geometry_key(index, "ivf_qadc_grouped", queries.shape[0])
+    assert autotune.lookup(key) == pick
