@@ -66,6 +66,35 @@ def main():
         finally:
             ls.math.gcd = orig_gcd
 
+    # --- 1b. dense-gather accumulate vs in-place prefetch -------------------
+    # The prefetch kernel's b=1 cost is grid-step-overhead-bound (gcap *
+    # nblocks tiny steps). Alternative: ONE row gather of the live rows
+    # (static cap = max_part rows) into a dense array + rows_adc_accumulate
+    # over it (few big steps) + the XLA selector reduce the non-fused
+    # compact path uses. Trades a 0.75 MB gather + 1.5 MB lane-sum round
+    # trip for ~4x fewer grid steps.
+    max_rows = -(-real_rows // 64) * 64
+    ids = (gp[:, None] * rpp + jnp.arange(max_rows, dtype=jnp.int32)[None, :]
+           ).reshape(-1)
+    cpr = 128 // cb
+    smat = jnp.asarray(
+        (np.arange(128)[:, None] // cb) == np.arange(cpr)[None, :],
+        jnp.float32,
+    )
+
+    def body_dense(args, tap):
+        (c,) = args
+        rows = c[ids]                                  # (ma*max_rows, 128)
+        tl = jnp.repeat(tlo + tap * 1e-12, max_rows, axis=0)
+        th = jnp.repeat(thi, max_rows, axis=0)
+        d = ls.rows_adc_accumulate(rows, tl, th, cb=cb)
+        dd = jnp.dot(d, smat, precision=jax.lax.Precision.HIGHEST)
+        return dd.sum()
+
+    dt = fori_slope_seconds(body_dense, (codes,), k_lo=4, k_hi=24)
+    print(f"dense-gather accumulate ({ma}x{max_rows} rows + reduce): "
+          f"{dt*1e6:7.1f} us", flush=True)
+
     # --- 2. screen aggregation ----------------------------------------------
     from qadc_tpu.ops.topk import exact_screen_smallest
 
