@@ -44,7 +44,7 @@ from qadc_tpu.ops.quantization import (
     quantize_tables_int8,
 )
 from qadc_tpu.ops.tables import adc_tables
-from qadc_tpu.ops.topk import screen_smallest, topk_smallest
+from qadc_tpu.ops.topk import topk_smallest
 
 
 def shard_ivf_partitions(index: IVFIndex, mesh) -> IVFIndex:

@@ -24,7 +24,7 @@ import numpy as np
 
 from qadc_tpu.core.layout import DEFAULT_BLOCK, codes_per_row
 from qadc_tpu.core.packing import gather_codes_row128, row128_to_codes, unpack_codes
-from qadc_tpu.ops.topk import merge_topk, screen_smallest, topk_smallest
+from qadc_tpu.ops.topk import merge_topk, topk_smallest
 from qadc_tpu.kernels.lut_scan import (
     DEFAULT_BLOCK_N,
     DEFAULT_WINDOW,
@@ -143,11 +143,11 @@ def window_search_rows(
     """Select top windows from kernel minima, expand, rank (one code range).
 
     The flat analog of the grouped IVF tail (index.ivf.window_rerank with one
-    partition): window SELECTION is exact lax.top_k when exact_screen (then
-    the result is the exact top-r under rank_tables — a code outside the
-    top-wq windows is beaten by wq better codes), approx_min_k otherwise
-    (a float rerank absorbs the screening approximation). Also used per-shard
-    by dist.sharded (codes_rows = the local shard, size = its valid count).
+    partition): window SELECTION is always the exact tile screen — a code
+    outside the top-wq windows is beaten by wq better codes, so the expanded
+    result is the exact top-r under rank_tables (exact_screen is retained in
+    the signature for API compatibility only). Also used per-shard by
+    dist.sharded (codes_rows = the local shard, size = its valid count).
 
     Args:
       codes_rows: (n_pad/cpr, 128) uint8 ROW128 storage.

@@ -42,7 +42,6 @@ from qadc_tpu.ops.topk import (
     exact_screen_smallest,
     exact_tile_screen,
     merge_topk,
-    screen_smallest,
     topk_smallest,
 )
 from qadc_tpu.quantizers.pq import ProductQuantizer
