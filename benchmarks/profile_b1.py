@@ -73,29 +73,23 @@ def main():
         return d.reshape(q, ma * idx.part_pad)
 
     def screen(idx, parts, d, q, wq):
-        # Production screen: EXACT tile-min cascade + whole-tile expansion
-        # (f32 — see ivf.py's bf16 plateau note), winners-only label
-        # reconstruction via select-accumulate.
-        from qadc_tpu.index.ivf import _select_cols
-        from qadc_tpu.ops.topk import exact_screen_smallest
+        # Production screen: EXACT tile-min cascade at wq == r (ascending
+        # output IS the final ranking — no second top-k, no 2*r
+        # oversampling; the tail is K-dominated).
+        from qadc_tpu.ops.topk import exact_tile_screen
 
-        tile = 32
-        ntiles = d.shape[1] // tile
-        dm = d.reshape(q, ntiles, tile)
-        mins = jnp.min(dm, axis=-1)
-        wq_t = min(2 * r, ntiles)
-        _, ti = exact_screen_smallest(mins, wq_t)
-        cand = jnp.take_along_axis(dm, ti[..., None], axis=1)
-        sv, si2 = exact_screen_smallest(cand.reshape(q, wq_t * tile), wq)
-        col = (
-            jnp.take_along_axis(ti, si2 // tile, axis=-1) * tile + si2 % tile
-        )
+        return exact_tile_screen(d, wq)
+
+    def labels_of(idx, parts, col):
+        # Winners-only label reconstruction (select-accumulate the partition
+        # ids, one (Q, r) element gather) AFTER the final cut.
+        from qadc_tpu.index.ivf import _select_cols
+
         a_id = col // idx.part_pad
         within = col % idx.part_pad
         part_sel = _select_cols(parts, a_id, ma)
         code_local = (within % rpp) * cpr + within // rpp
-        sl = idx.labels.reshape(-1)[part_sel * idx.part_pad + code_local]
-        return sv, sl
+        return idx.labels.reshape(-1)[part_sel * idx.part_pad + code_local]
 
     stages = {}
 
@@ -113,20 +107,19 @@ def main():
             d = mask(idx, parts, d, q)
             if upto == 3:
                 return d[0, 0]
-            sv, sl = screen(
-                idx, parts, d, q,
-                min(2 * r, ma * min(r, index.part_pad)),
-            )
+            sv, col = screen(idx, parts, d, q, r)
             if upto == 4:
                 return sv[0, 0]
-            fv, fl = topk_smallest(sv, sl, r)
-            return jnp.where(fv[0, 0] >= 3.0e38, jnp.inf, fv[0, 0])
+            fl = labels_of(idx, parts, col)
+            return jnp.where(
+                sv[0, 0] >= 3.0e38, jnp.inf, sv[0, 0]
+            ) + fl[0, 0].astype(jnp.float32) * 1e-30
 
         return body
 
     k_lo, k_hi = (100, 500) if batch == 1 else (30, 150)
     prev = 0.0
-    names = ["front", "kernel", "mask", "screen", "topk"]
+    names = ["front", "kernel", "mask", "screen", "labels"]
     for i, name in enumerate(names, start=1):
         dt = fori_slope_seconds(
             bodies(i), (index, queries), k_lo=k_lo, k_hi=k_hi

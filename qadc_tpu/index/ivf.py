@@ -1069,21 +1069,27 @@ def _search_qadc_direct_impl(
     # smoke contract), at ~the same cost (tile minima: 24 vs 22 us at b=1).
     # `exact` is kept for API compatibility; the default IS exact now.
     del exact
-    wq = min(2 * r, width)
+    # wq == r: the screen is EXACT and returns values ASCENDING with their
+    # columns, so its output IS the final ranking — no second top-k, and no
+    # oversampling (the 2*r width was a holdover from the approx-screen era;
+    # the TPU TopK/sort costs are K-dominated, so halving wq and deleting
+    # the final sort cut the b=1 tail, benchmarks/profile_b1.py).
+    wq = min(r, width)
     sv, col = exact_tile_screen(d, wq)                    # (Q, wq) global col
-    a_id = col // index.part_pad                          # assignment index
-    within = col % index.part_pad                         # compact column
-    # Labels for the wq winners only (the up-front (Q, ma*part_pad) label
-    # gather + take_along was ~14 us of the b=1 budget): ma is small, so
-    # select-accumulate the partition ids, then one (Q, wq) element gather.
-    part_sel = _select_cols(parts, a_id, ma)              # (Q, wq) int32
-    code_local = (within % rpp) * cpr + within // rpp     # -> local code id
-    sl = index.labels.reshape(-1)[part_sel * index.part_pad + code_local]
     if r > wq:  # tiny probed volume: pad to the (Q, r) contract
         sv = jnp.pad(sv, [(0, 0), (0, r - wq)], constant_values=big)
-        sl = jnp.pad(sl, [(0, 0), (0, r - wq)])
-    fv, fl = topk_smallest(sv, sl, r)
-    return jnp.where(fv >= big, jnp.inf, fv), fl
+        col = jnp.pad(col, [(0, 0), (0, r - wq)])
+    a_id = col // index.part_pad                          # assignment index
+    within = col % index.part_pad                         # compact column
+    # Labels for the r winners only (the up-front (Q, ma*part_pad) label
+    # gather + take_along was ~14 us of the b=1 budget; TPU element gathers
+    # are per-element expensive, so gather AFTER the final cut): ma is
+    # small, so select-accumulate the partition ids, then one (Q, r)
+    # element gather.
+    part_sel = _select_cols(parts, a_id, ma)              # (Q, r) int32
+    code_local = (within % rpp) * cpr + within // rpp     # -> local code id
+    fl = index.labels.reshape(-1)[part_sel * index.part_pad + code_local]
+    return jnp.where(sv >= big, jnp.inf, sv), fl
 
 
 @partial(

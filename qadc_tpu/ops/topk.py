@@ -122,7 +122,7 @@ def topk_smallest(dists, labels, k: int):
     return -top, jnp.take_along_axis(labels, idx, axis=-1)
 
 
-def exact_screen_smallest(vals, k: int):
+def exact_screen_smallest(vals, k: int, idx=None):
     """EXACT k-smallest + argmin indices along the last axis, sort-cascade.
 
     jax.lax.approx_min_k is a per-segment min reduction: it never loses the
@@ -136,13 +136,22 @@ def exact_screen_smallest(vals, k: int):
     by lower index (stable sorts over index-ordered chunks), matching
     lax.top_k.
 
+    idx: optional (..., C) int32 CUSTOM payload returned in place of the
+    positional indices (the cascade carries one int32 payload either way, so
+    a caller-supplied column id rides free — a post-sort take_along_axis
+    element gather is ~us-scale on TPU, benchmarks/profile_b1.py).
+
     Returns (vals (..., k) ascending, idx (..., k) int32).
     """
     lead = vals.shape[:-1]
     w = vals.shape[-1]
     v = jnp.asarray(vals, jnp.float32).reshape(-1, w)
     q = v.shape[0]
-    idx = jnp.broadcast_to(jnp.arange(w, dtype=jnp.int32), (q, w))
+    if idx is None:
+        idx = jnp.broadcast_to(jnp.arange(w, dtype=jnp.int32), (q, w))
+    else:
+        idx = jnp.asarray(idx, jnp.int32).reshape(-1, w)
+        idx = jnp.broadcast_to(idx, (q, w))
     c = max(SORT_TOPK_MAX_C, k)
     while v.shape[1] > c:
         w = v.shape[1]
@@ -196,10 +205,14 @@ def exact_tile_screen(vals, k: int, tile: int = 32):
     inner = exact_tile_screen if ntiles > 16384 else exact_screen_smallest
     _, ti = inner(mins, kt)                                # exact tile cut
     cand = jnp.take_along_axis(dm, ti[..., None], axis=1)  # (Q, kt, tile)
-    sv, si = exact_screen_smallest(
-        cand.reshape(q, kt * tile), min(k, kt * tile)
+    # Members carry their GLOBAL column as the sort payload — no post-sort
+    # take_along_axis element gather (those are per-element expensive on
+    # TPU; the cascade carries one int32 payload either way).
+    cidx = ti[..., None] * tile + jnp.arange(tile, dtype=jnp.int32)
+    sv, idx = exact_screen_smallest(
+        cand.reshape(q, kt * tile), min(k, kt * tile),
+        idx=cidx.reshape(q, kt * tile),
     )
-    idx = jnp.take_along_axis(ti, si // tile, axis=-1) * tile + si % tile
     kk = sv.shape[-1]
     if kk < k:  # row narrower than k after the tile cut: pad the contract
         sv = jnp.pad(sv, [(0, 0), (0, k - kk)], constant_values=jnp.inf)
