@@ -1020,6 +1020,7 @@ def _search_qadc_direct_impl(
         blk_rows = rows_adc_block_rows(rpp)
         sz_flat = index.part_sizes[pflat]                 # real codes per pair
         sz_rows = -(-sz_flat // cpr)                      # rows with real codes
+        tile = 32 if rpp % 32 == 0 else None
         d = rows_adc_grouped_prefetch(
             index.codes.reshape(-1, 128), pflat, tlo, thi, rpp, cb=cb,
             interpret=interpret, compact_out=True,
@@ -1029,7 +1030,15 @@ def _search_qadc_direct_impl(
             # Validity masking fuses into the kernel epilogue (MASK_BIG into
             # padding outputs) — no separate compare+where pass below.
             mask_sizes=sz_flat,
-        )                                                  # (QA*cpr, rpp)
+            # Tile minima for the exact screen come out of the kernel
+            # epilogue (or a native-layout reduce): the host never reads or
+            # relayouts the full (QA*cpr, rpp) distance array to build them.
+            tile_min=tile,
+        )
+        if tile is not None:
+            d, dmins = d                                   # (QA*cpr, rpp/32)
+        else:
+            dmins = None
         pre_masked = True
     else:
         grow = (
@@ -1041,6 +1050,7 @@ def _search_qadc_direct_impl(
         # Match the kernel's compact transposed layout: (QA, cpr, rpp).
         d = d.reshape(qa, rpp, cpr).transpose(0, 2, 1)
         pre_masked = False
+        dmins = None
     # Compact layout: flat column f of a pair = c*rpp + rr holds the code at
     # local id rr*cpr + c.
     # Finite sentinel (not +inf): the sentinel flows through the screen when

@@ -671,6 +671,23 @@ def lut_scan_grouped_prefetch(
     return vals
 
 
+def _rows_adc_mux_enabled() -> bool:
+    """Barrel-shifter (mux-tree) gather switch for _rows_adc_body_halves.
+
+    Read at TRACE time — flipping the env var after a shape has been jitted
+    needs jax.clear_caches() (A/B harnesses do; production picks one value
+    per process). Default OFF — measured rejection (2026-08-19, v5e, b=1
+    direct geometry): 80.2 vs 75.7 us e2e. The tree does ~2x fewer
+    (BLK, 128) ops on paper (15 wheres vs 16 x (2 cmp + 2 sel + 2 add)) but
+    Mosaic lowers the masked-accumulate loop to cheaper masked adds, while
+    the tree keeps 8 live (BLK, 128) temporaries per nibble. Kept as a
+    parity-tested A/B instrument.
+    """
+    import os
+
+    return os.environ.get("QADC_ROWS_ADC_MUX", "0") != "0"
+
+
 def _rows_adc_body(raw_u8, tlo, thi, *, cb):
     """Per-row float ADC accumulate: 128 lookups into each row's OWN table.
 
@@ -720,6 +737,33 @@ def _rows_adc_body_halves(raw_u8, tlo_halves, thi_halves, *, cb):
     h_count = len(tlo_halves)
 
     c_lane = jax.lax.broadcasted_iota(jnp.int32, lo.shape, 1) // cb  # code pos
+    if h_count == 1 and _rows_adc_mux_enabled():
+        # MUX-TREE gather: materialize the 16 rolled table variants t_dd
+        # (rolls of the (1, 128) group table are near-free; the per-row
+        # (BLK, 128) case pays the same 15 rolls the loop already did) and
+        # select per lane with a 4-level binary tree over the bits of rel —
+        # 15 wheres + 8 bit masks per nibble instead of the loop's
+        # 16 x (2 cmp + 2 sel + 2 add) full-block passes (~2x fewer
+        # (BLK, 128) VPU ops). NOT a barrel shifter: conditional rolls of
+        # the selected data would compose shifts chosen by OTHER lanes' rel
+        # bits. Bit-exact vs the loop: the same (tlo, thi) pair is selected
+        # per lane and added once.
+        lo_rel = (lo - c_lane) % n_j
+        hi_rel = (hi - c_lane) % n_j
+
+        def tree(t, rel):
+            ts = [t]
+            for _ in range(n_j - 1):
+                ts.append(pltpu.roll(ts[-1], 128 - cb, axis=1))
+            bits = [(rel & (1 << k)) != 0 for k in range(4)]
+            for k in range(4):
+                ts = [
+                    jnp.where(bits[k], ts[2 * j + 1], ts[2 * j])
+                    for j in range(len(ts) // 2)
+                ]
+            return ts[0]
+
+        return tree(tlo_halves[0], lo_rel) + tree(thi_halves[0], hi_rel)
     acc = jnp.zeros(lo.shape, jnp.float32)
     for h in range(h_count):
         tlo_h = tlo_halves[h]
@@ -862,12 +906,14 @@ MASK_BIG = 3.0e38
 
 
 @functools.partial(
-    jax.jit, static_argnames=("rows_per_part", "cb", "interpret", "compact_out")
+    jax.jit,
+    static_argnames=("rows_per_part", "cb", "interpret", "compact_out",
+                     "tile_min"),
 )
 def rows_adc_grouped_prefetch(
     codes_rows, group_part, tlo_c, thi_c, rows_per_part: int, cb: int = 8,
     interpret: bool = False, group_nblk=None, compact_out: bool = False,
-    mask_sizes=None,
+    mask_sizes=None, tile_min: int | None = None,
 ):
     """Float ADC over whole partitions read IN PLACE (scalar prefetch).
 
@@ -897,11 +943,22 @@ def rows_adc_grouped_prefetch(
         — the validity masking fuses into the kernel epilogue (saves the
         caller's separate compare+where pass over the whole distance array,
         ~7 us of the b=1 budget).
+      tile_min: optional TILE width — additionally emit per-(c-row, tile)
+        column minima of the masked compact output, (GCAP * cpr,
+        rows_per_part // tile_min) f32. Feeds the direct path's exact tile
+        screen without the host-side min-reduce over (and relayout of) the
+        full distance array. Requires compact_out + mask_sizes and a
+        single-block partition (rows_per_part == trimming block unit, the
+        b=1 SIFT geometry) — the min output block is only Mosaic-legal when
+        it spans the array's minor dim; otherwise the mins are reduced
+        outside the kernel (same values, native layout, no relayout of the
+        full array either way).
 
     Returns:
       (GCAP * rows_per_part, 128) f32 lane sums, group-major; reduce bytes
       per code with the selector matmul as for rows_adc_accumulate. With
-      compact_out, the transposed per-code layout above instead.
+      compact_out, the transposed per-code layout above instead. With
+      tile_min accepted (see above), a (compact, mins) tuple.
     """
     gcap = group_part.shape[0]
     lanes_t = 16 * cb
@@ -938,6 +995,15 @@ def rows_adc_grouped_prefetch(
     if group_nblk is None:
         group_nblk = jnp.full((gcap,), nblocks, jnp.int32)
     mask_fused = mask_sizes is not None and fuse_c
+    # Fused tile-min epilogue: legal only when one block spans the whole
+    # partition (min block minor == min array minor, _transposed_block_legal
+    # rationale); the masked mins are otherwise reduced outside the kernel.
+    fuse_min = (
+        tile_min is not None
+        and mask_fused
+        and nblocks == 1
+        and rows_per_part % tile_min == 0
+    )
     gsz = (
         jnp.full((gcap,), rows_per_part * cpr, jnp.int32)
         if mask_sizes is None
@@ -947,6 +1013,9 @@ def rows_adc_grouped_prefetch(
     def kernel(gp_ref, gnb_ref, gsz_ref, *rest):  # scalar prefetch first
         i = pl.program_id(0)
         live = (i % nblocks) < gnb_ref[i // nblocks]
+        if fuse_min:
+            min_ref = rest[-1]
+            rest = rest[:-1]
         acc_ref = rest[-1]
 
         @pl.when(live)
@@ -964,12 +1033,19 @@ def rows_adc_grouped_prefetch(
                 acc_ref[...] = jnp.where(
                     code_id < gsz_ref[i // nblocks], acc_ref[...], MASK_BIG
                 )
+            if fuse_min:
+                min_ref[...] = jnp.min(
+                    acc_ref[...].reshape(cpr, blk // tile_min, tile_min),
+                    axis=-1,
+                )
 
         @pl.when(jnp.logical_not(live))
         def _():
             acc_ref[...] = jnp.full(
                 acc_ref.shape, MASK_BIG if mask_fused else 0.0, jnp.float32
             )
+            if fuse_min:
+                min_ref[...] = jnp.full(min_ref.shape, MASK_BIG, jnp.float32)
 
     def codes_map(i, gp, gnb, gsz_):
         # Trimmed steps re-read the last live block (no DMA; see
@@ -1003,6 +1079,20 @@ def rows_adc_grouped_prefetch(
         # rows_per_part is in ROWS of 128 bytes; each block covers blk rows ->
         # blk output columns (one per storage row): total columns = rows_per_part.
         out_shape = jax.ShapeDtypeStruct((gcap * cpr, rows_per_part), jnp.float32)
+        if fuse_min:
+            out_specs = [
+                out_specs,
+                pl.BlockSpec(
+                    (cpr, rows_per_part // tile_min),
+                    lambda i, gp, gnb, gsz_: (i, 0),  # nblocks == 1
+                ),
+            ]
+            out_shape = [
+                out_shape,
+                jax.ShapeDtypeStruct(
+                    (gcap * cpr, rows_per_part // tile_min), jnp.float32
+                ),
+            ]
     else:
         out_specs = pl.BlockSpec((blk, 128), lambda i, gp, gnb, gsz_: (i, 0))
         out_shape = jax.ShapeDtypeStruct((gcap * rows_per_part, 128), jnp.float32)
@@ -1023,6 +1113,9 @@ def rows_adc_grouped_prefetch(
             transcendentals=0,
         ),
     )(*operands)
+    mins = None
+    if fuse_min:
+        out, mins = out
     if compact_out and not fuse_c:
         smat = jnp.asarray(
             (np.arange(128)[:, None] // cb) == np.arange(cpr)[None, :],
@@ -1051,6 +1144,18 @@ def rows_adc_grouped_prefetch(
         out = jnp.where(
             ok.reshape(gcap * rows_per_part, 128), out, MASK_BIG
         )
+    if tile_min is not None:
+        if not compact_out or rows_per_part % tile_min or mask_sizes is None:
+            raise ValueError(
+                "tile_min needs compact_out + mask_sizes and "
+                "tile_min | rows_per_part"
+            )
+        if mins is None:  # not fused in-kernel: reduce in native layout
+            mins = jnp.min(
+                out.reshape(gcap * cpr, rows_per_part // tile_min, tile_min),
+                axis=-1,
+            )
+        return out, mins
     return out
 
 
