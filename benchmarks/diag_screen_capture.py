@@ -42,8 +42,7 @@ def main():
     r, ma = 100, 8
 
     # exact reference labels from the exact mode (proven vs oracle)
-    _, l_ex = ivf_mod.search_qadc(index, qs, r=r, ma=ma, direct=True,
-                                  exact=True)
+    _, l_ex = ivf_mod.search_qadc(index, qs, r=r, ma=ma, direct=True)
     l_ex = np.asarray(l_ex)
 
     def capture(l):

@@ -37,8 +37,7 @@ def main():
     r, ma = 100, 8
     wq = 2 * r
 
-    _, l_ex = ivf_mod.search_qadc(index, qs, r=r, ma=ma, direct=True,
-                                  exact=True)
+    _, l_ex = ivf_mod.search_qadc(index, qs, r=r, ma=ma, direct=True)
     l_ex = np.asarray(l_ex)
 
     # rebuild d EXACTLY as the impl does

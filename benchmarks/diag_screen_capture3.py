@@ -35,8 +35,7 @@ def main():
     qs = jnp.asarray(queries)
     r, ma = 100, 8
 
-    _, l_ex = ivf_mod.search_qadc(index, qs, r=r, ma=ma, direct=True,
-                                  exact=True)
+    _, l_ex = ivf_mod.search_qadc(index, qs, r=r, ma=ma, direct=True)
     l_ex = np.asarray(l_ex)
 
     def cap(l):
@@ -62,8 +61,7 @@ def main():
     print(f"worst query {wi}: capture {caps[wi]:.2f}")
     print("ship d[:10] ", np.asarray(dv)[wi, :10])
     print("unjit d[:10]", np.asarray(dv2)[wi, :10])
-    ex_d, _ = ivf_mod.search_qadc(index, qs, r=r, ma=ma, direct=True,
-                                  exact=True)
+    ex_d, _ = ivf_mod.search_qadc(index, qs, r=r, ma=ma, direct=True)
     print("exact d[:10]", np.asarray(ex_d)[wi, :10])
 
 

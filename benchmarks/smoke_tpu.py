@@ -311,10 +311,9 @@ def contracts():
     interpret-mode lowering of the same pipeline:
       - 4-bit conventional ADC = exact top-r (reference db_query.cpp
         semantics, grouped Pallas kernel path);
-      - direct path exact=True = oracle-exact float ranking (sort-cascade
-        screen; the compact_out HIGHEST matmul measured f32-exact);
-      - direct path default = exact VALUES, exact rank-1, >=98% deep-rank
-        capture (segment-min screen; see diag_direct.py);
+      - direct path = oracle-exact float ranking (exact tile screen fed by
+        the kernel's tile minima; the compact_out HIGHEST matmul measured
+        f32-exact);
       - saturating int8 semantics bit-match (simd_scan.hpp:161 analog);
       - grouped qadc pipeline hardware == interpret;
       - bf16 candidate screen moves recall by <= 0.002 (QADC_BF16_SCREEN A/B).
@@ -386,8 +385,7 @@ def contracts():
         return f"max|dd|={np.abs(d - d_orc).max():.2e}"
 
     def c_direct_exact():
-        d, l = ivf_mod.search_qadc(index, qs, r=r, ma=ma, direct=True,
-                                   exact=True)
+        d, l = ivf_mod.search_qadc(index, qs, r=r, ma=ma, direct=True)
         d, l = np.asarray(d), np.asarray(l)
         np.testing.assert_allclose(d, d_orc, rtol=2e-4, atol=1e-3)
         ok, where = _tie_aware_labels_equal(d_orc, l_orc, l, tie_tol)
@@ -395,12 +393,12 @@ def contracts():
         return f"max|dd|={np.abs(d - d_orc).max():.2e} (Mosaic HIGHEST holds)"
 
     def c_direct_default_guarantees():
-        # Default direct screen is a segment-min reduction: it never loses
-        # the global minimum and keeps ~99% of deep ranks (diag_direct.py).
-        # Contract: (a) the true nearest is rank-1 with the oracle's
-        # distance; (b) every returned distance is that label's EXACT float
-        # ADC distance (no value approximation anywhere); (c) >= 98% of the
-        # oracle top-r is captured.
+        # The direct screen is now exact (tile screen), so these historical
+        # weaker guarantees must hold trivially; kept as an independent
+        # label/value cross-check of the same call: (a) the true nearest is
+        # rank-1 with the oracle's distance; (b) every returned distance is
+        # that label's EXACT float ADC distance; (c) >= 98% of the oracle
+        # top-r is captured (exactness implies 100%).
         d, l = ivf_mod.search_qadc(index, qs, r=r, ma=ma, direct=True)
         d, l = np.asarray(d), np.asarray(l)
         np.testing.assert_allclose(d[:, 0], d_orc[:, 0], rtol=2e-4, atol=1e-3)

@@ -971,10 +971,9 @@ def _run_query_chunks(search_one, queries, chunk: int):
     return jnp.concatenate(out_d), jnp.concatenate(out_l)
 
 
-@partial(jax.jit, static_argnames=("r", "ma", "interpret", "exact"))
+@partial(jax.jit, static_argnames=("r", "ma", "interpret"))
 def _search_qadc_direct_impl(
     index: IVFIndex, queries, r: int, ma: int, interpret: bool = False,
-    exact: bool = False,
 ):
     """Small-batch low-latency path: EXACT float ADC over all probed codes.
 
@@ -985,13 +984,9 @@ def _search_qadc_direct_impl(
     rows_adc Pallas scan of the ma probed partitions (each row ranked with
     its own pair's float table), then candidate screening + exact ranking.
 
-    Distance VALUES are exact float ADC everywhere. The default screen is
-    approx_min_k's segment-min reduction: it NEVER drops the global minimum
-    (so recall@R with t=1 semantics is unaffected) and captures ~99% of the
-    true top-100 at these widths (measured, benchmarks/diag_direct.py);
-    deep ranks can differ from the oracle. exact=True screens with the
-    sort cascade (ops.topk.exact_screen_smallest) instead: ORACLE-EXACT
-    top-r ranking, +~30-60 us at b=1 (benchmarks/ab_screen.py).
+    Distance VALUES are exact float ADC everywhere, and the screen is
+    ORACLE-EXACT (ops.topk.exact_tile_screen — provable containment of the
+    probed top-r; see the screen comment below).
     """
     parts, rot = assign_queries(index, queries, ma)
     tables = adc_tables(rot, index.pq.centroids)         # (Q, ma, M, 16)
@@ -1030,9 +1025,9 @@ def _search_qadc_direct_impl(
             # Validity masking fuses into the kernel epilogue (MASK_BIG into
             # padding outputs) — no separate compare+where pass below.
             mask_sizes=sz_flat,
-            # Tile minima for the exact screen come out of the kernel
-            # epilogue (or a native-layout reduce): the host never reads or
-            # relayouts the full (QA*cpr, rpp) distance array to build them.
+            # Tile minima for the exact screen come out of a native-layout
+            # XLA reduce over the kernel's compact output: the screen never
+            # recomputes them from the relayouted full distance array.
             tile_min=tile,
         )
         if tile is not None:
@@ -1077,15 +1072,17 @@ def _search_qadc_direct_impl(
     # how the data's clusters landed in its contiguous segments (measured
     # 0.85-1.00 across clustered shapes, benchmarks/diag_path_recall.py +
     # smoke contract), at ~the same cost (tile minima: 24 vs 22 us at b=1).
-    # `exact` is kept for API compatibility; the default IS exact now.
-    del exact
     # wq == r: the screen is EXACT and returns values ASCENDING with their
     # columns, so its output IS the final ranking — no second top-k, and no
     # oversampling (the 2*r width was a holdover from the approx-screen era;
     # the TPU TopK/sort costs are K-dominated, so halving wq and deleting
     # the final sort cut the b=1 tail, benchmarks/profile_b1.py).
     wq = min(r, width)
-    sv, col = exact_tile_screen(d, wq)                    # (Q, wq) global col
+    # Tile minima already computed on the scan output (kernel path): each
+    # (pair, c) row contributes rpp contiguous columns with rpp % 32 == 0,
+    # so the flat row's 32-tiles are exactly dmins' tiles.
+    dm_flat = None if dmins is None else dmins.reshape(q, width // 32)
+    sv, col = exact_tile_screen(d, wq, mins=dm_flat)      # (Q, wq) global col
     if r > wq:  # tiny probed volume: pad to the (Q, r) contract
         sv = jnp.pad(sv, [(0, 0), (0, r - wq)], constant_values=big)
         col = jnp.pad(col, [(0, 0), (0, r - wq)])
@@ -1099,7 +1096,13 @@ def _search_qadc_direct_impl(
     part_sel = _select_cols(parts, a_id, ma)              # (Q, r) int32
     code_local = (within % rpp) * cpr + within // rpp     # -> local code id
     fl = index.labels.reshape(-1)[part_sel * index.part_pad + code_local]
-    return jnp.where(sv >= big, jnp.inf, sv), fl
+    # Dead slots (r > valid candidates, or the r > wq pad above whose col=0
+    # gathers a REAL label) return -1, the missing-result sentinel —
+    # a caller not filtering on inf must not see a spurious genuine label.
+    return (
+        jnp.where(sv >= big, jnp.inf, sv),
+        jnp.where(sv >= big, jnp.int32(-1), fl),
+    )
 
 
 @partial(
@@ -1352,7 +1355,7 @@ def search_qadc(
     rerank: bool = True, grouped: bool | None = None, group_size: int = 128,
     grouped_window: int | None = None, interpret: bool = False,
     saturate: bool = False, direct: bool | None = None,
-    scan_budget_bytes: int | None = None, exact: bool = False,
+    scan_budget_bytes: int | None = None,
     block_n: int | None = None,
 ):
     """Quick-ADC IVF search (reference: db_query_4.cpp; requires sq_bits==4).
@@ -1370,12 +1373,8 @@ def search_qadc(
     codes in 3 device stages (the TPU answer to the reference's per-query
     b=1 engine, query_common.hpp:245-309). Default: on TPU when rerank is on,
     saturate is off, and the probed volume is small (<= DIRECT_MAX_CODES).
-    Results rank by exact distance, so recall >= the screened pipeline's.
-    exact: retained for API compatibility — the direct path's screen is now
-    ALWAYS exact (per-partition sort cascade + exact merge; every true
-    top-r member is in its own partition's top-r by construction). The
-    former approx segment-min screen's capture depended on how clusters
-    landed in its contiguous segments (0.85-1.00 measured across shapes).
+    Results rank by exact distance (the direct screen is oracle-exact), so
+    recall >= the screened pipeline's.
     scan_budget_bytes: memory governor — grouped-path query batches whose
     scan transients would exceed this are chunked (default SCAN_BUDGET_BYTES,
     the analog of the reference's TABLES_BUFFER_SIZE batch sizing,
@@ -1412,7 +1411,7 @@ def search_qadc(
 
         def run_direct(qs):
             return _search_qadc_direct_impl(
-                index, qs, r, ma, interpret=interpret, exact=exact
+                index, qs, r, ma, interpret=interpret
             )
 
         if chunk < queries.shape[0]:

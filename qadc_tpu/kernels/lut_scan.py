@@ -737,7 +737,10 @@ def _rows_adc_body_halves(raw_u8, tlo_halves, thi_halves, *, cb):
     h_count = len(tlo_halves)
 
     c_lane = jax.lax.broadcasted_iota(jnp.int32, lo.shape, 1) // cb  # code pos
-    if h_count == 1 and _rows_adc_mux_enabled():
+    # n_j == 16 is required, not just implied by h_count == 1: the tree below
+    # hard-codes 4 select levels over 16 rolled variants; an n_j < 16 config
+    # would silently select wrong entries (advisor r4).
+    if h_count == 1 and n_j == 16 and _rows_adc_mux_enabled():
         # MUX-TREE gather: materialize the 16 rolled table variants t_dd
         # (rolls of the (1, 128) group table are near-free; the per-row
         # (BLK, 128) case pays the same 15 rolls the loop already did) and
@@ -945,14 +948,13 @@ def rows_adc_grouped_prefetch(
         ~7 us of the b=1 budget).
       tile_min: optional TILE width — additionally emit per-(c-row, tile)
         column minima of the masked compact output, (GCAP * cpr,
-        rows_per_part // tile_min) f32. Feeds the direct path's exact tile
-        screen without the host-side min-reduce over (and relayout of) the
-        full distance array. Requires compact_out + mask_sizes and a
-        single-block partition (rows_per_part == trimming block unit, the
-        b=1 SIFT geometry) — the min output block is only Mosaic-legal when
-        it spans the array's minor dim; otherwise the mins are reduced
-        outside the kernel (same values, native layout, no relayout of the
-        full array either way).
+        rows_per_part // tile_min) f32, as a native-layout XLA reduce over
+        the kernel's compact output (NOT fused in-kernel: the fused
+        epilogue's minor-dim-splitting reshape is Mosaic-illegal at the
+        production geometry — round-4 VERDICT, reproduced on v5e). Feeds
+        the direct path's exact tile screen so it never recomputes minima
+        from the relayouted full array. Requires compact_out + mask_sizes
+        and tile_min | rows_per_part.
 
     Returns:
       (GCAP * rows_per_part, 128) f32 lane sums, group-major; reduce bytes
@@ -995,15 +997,13 @@ def rows_adc_grouped_prefetch(
     if group_nblk is None:
         group_nblk = jnp.full((gcap,), nblocks, jnp.int32)
     mask_fused = mask_sizes is not None and fuse_c
-    # Fused tile-min epilogue: legal only when one block spans the whole
-    # partition (min block minor == min array minor, _transposed_block_legal
-    # rationale); the masked mins are otherwise reduced outside the kernel.
-    fuse_min = (
-        tile_min is not None
-        and mask_fused
-        and nblocks == 1
-        and rows_per_part % tile_min == 0
-    )
+    # tile_min reduction happens OUTSIDE the kernel (XLA reduce over the
+    # compact output, line ~1150): the in-kernel epilogue needed a
+    # minor-dim-splitting reshape (cpr, blk) -> (cpr, blk//tile, tile) that
+    # Mosaic rejects ("unsupported shape cast") at the production b=1 SIFT
+    # geometry (cpr=16, blk=256, tile=32) — reproduced on v5e, round-4
+    # VERDICT. The XLA reduce reads the (gcap*cpr, rpp) f32 array once
+    # (~400 KB at b=1 ma=24) in its native layout; same values.
     gsz = (
         jnp.full((gcap,), rows_per_part * cpr, jnp.int32)
         if mask_sizes is None
@@ -1013,9 +1013,6 @@ def rows_adc_grouped_prefetch(
     def kernel(gp_ref, gnb_ref, gsz_ref, *rest):  # scalar prefetch first
         i = pl.program_id(0)
         live = (i % nblocks) < gnb_ref[i // nblocks]
-        if fuse_min:
-            min_ref = rest[-1]
-            rest = rest[:-1]
         acc_ref = rest[-1]
 
         @pl.when(live)
@@ -1033,19 +1030,12 @@ def rows_adc_grouped_prefetch(
                 acc_ref[...] = jnp.where(
                     code_id < gsz_ref[i // nblocks], acc_ref[...], MASK_BIG
                 )
-            if fuse_min:
-                min_ref[...] = jnp.min(
-                    acc_ref[...].reshape(cpr, blk // tile_min, tile_min),
-                    axis=-1,
-                )
 
         @pl.when(jnp.logical_not(live))
         def _():
             acc_ref[...] = jnp.full(
                 acc_ref.shape, MASK_BIG if mask_fused else 0.0, jnp.float32
             )
-            if fuse_min:
-                min_ref[...] = jnp.full(min_ref.shape, MASK_BIG, jnp.float32)
 
     def codes_map(i, gp, gnb, gsz_):
         # Trimmed steps re-read the last live block (no DMA; see
@@ -1079,20 +1069,6 @@ def rows_adc_grouped_prefetch(
         # rows_per_part is in ROWS of 128 bytes; each block covers blk rows ->
         # blk output columns (one per storage row): total columns = rows_per_part.
         out_shape = jax.ShapeDtypeStruct((gcap * cpr, rows_per_part), jnp.float32)
-        if fuse_min:
-            out_specs = [
-                out_specs,
-                pl.BlockSpec(
-                    (cpr, rows_per_part // tile_min),
-                    lambda i, gp, gnb, gsz_: (i, 0),  # nblocks == 1
-                ),
-            ]
-            out_shape = [
-                out_shape,
-                jax.ShapeDtypeStruct(
-                    (gcap * cpr, rows_per_part // tile_min), jnp.float32
-                ),
-            ]
     else:
         out_specs = pl.BlockSpec((blk, 128), lambda i, gp, gnb, gsz_: (i, 0))
         out_shape = jax.ShapeDtypeStruct((gcap * rows_per_part, 128), jnp.float32)
@@ -1113,9 +1089,6 @@ def rows_adc_grouped_prefetch(
             transcendentals=0,
         ),
     )(*operands)
-    mins = None
-    if fuse_min:
-        out, mins = out
     if compact_out and not fuse_c:
         smat = jnp.asarray(
             (np.arange(128)[:, None] // cb) == np.arange(cpr)[None, :],
@@ -1150,11 +1123,10 @@ def rows_adc_grouped_prefetch(
                 "tile_min needs compact_out + mask_sizes and "
                 "tile_min | rows_per_part"
             )
-        if mins is None:  # not fused in-kernel: reduce in native layout
-            mins = jnp.min(
-                out.reshape(gcap * cpr, rows_per_part // tile_min, tile_min),
-                axis=-1,
-            )
+        mins = jnp.min(  # native-layout XLA reduce (see fuse_c note above)
+            out.reshape(gcap * cpr, rows_per_part // tile_min, tile_min),
+            axis=-1,
+        )
         return out, mins
     return out
 

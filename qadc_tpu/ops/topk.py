@@ -171,7 +171,7 @@ def exact_screen_smallest(vals, k: int, idx=None):
     return v[:, :k].reshape(*lead, k), idx[:, :k].reshape(*lead, k)
 
 
-def exact_tile_screen(vals, k: int, tile: int = 32):
+def exact_tile_screen(vals, k: int, tile: int = 32, mins=None):
     """EXACT k-smallest + indices along the last axis, via tile minima.
 
     Same contract as exact_screen_smallest, at a fraction of the sort
@@ -185,22 +185,37 @@ def exact_tile_screen(vals, k: int, tile: int = 32):
     stable order: a valid top-k by value (tie ORDER may differ from
     lax.top_k when equal values straddle the cut).
 
+    mins: optional (..., w // tile) PRECOMPUTED tile minima (the Pallas
+    scan emits them in native layout — kernels.rows_adc_grouped_prefetch's
+    tile_min); skips the min-reduce over (and relayout of) the full row.
+    Must equal jnp.min over each contiguous tile; w % tile must be 0.
+
     Measured on the b=1 direct path (width 98304, k=200, v5e): 24 us vs
     56 us for the full per-chunk cascade and 22 us for the approx
     segment-min screen whose capture was data-dependent (0.85-1.00).
     """
     w = vals.shape[-1]
-    if w <= max(4 * tile, k * 2 * tile, SORT_TOPK_MAX_C):
+    if w <= max(4 * tile, k * 2 * tile, SORT_TOPK_MAX_C) and mins is None:
         return exact_screen_smallest(vals, k)  # tiling would not shrink
     lead = vals.shape[:-1]
     v = jnp.asarray(vals, jnp.float32).reshape(-1, w)
     pad = (-w) % tile
     if pad:
+        if mins is not None:
+            raise ValueError(f"precomputed mins require tile | width, got "
+                             f"width={w} tile={tile}")
         v = jnp.pad(v, [(0, 0), (0, pad)], constant_values=jnp.inf)
     q, wp = v.shape
     ntiles = wp // tile
     dm = v.reshape(q, ntiles, tile)
-    mins = jnp.min(dm, axis=-1)                            # (Q, ntiles)
+    if mins is not None:
+        if mins.shape[-1] != ntiles:
+            raise ValueError(
+                f"mins minor dim {mins.shape[-1]} != width//tile {ntiles}"
+            )
+        mins = jnp.asarray(mins, jnp.float32).reshape(q, ntiles)
+    else:
+        mins = jnp.min(dm, axis=-1)                        # (Q, ntiles)
     kt = min(k, ntiles)
     inner = exact_tile_screen if ntiles > 16384 else exact_screen_smallest
     _, ti = inner(mins, kt)                                # exact tile cut
