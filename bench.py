@@ -220,7 +220,8 @@ def _bench_recall_parity(rng):
     )
     del f88
 
-    coarse = ivf.train_coarse(jax.random.PRNGKey(2), learn, 256, iters=25)
+    coarse = ivf.train_coarse(jax.random.PRNGKey(2), learn, 256, iters=25,
+                              balance_cap=3.0)
     a = np.asarray(assign_nearest(learn, coarse))
     residuals = learn - np.asarray(coarse)[a]
     r88 = train_opq(jax.random.PRNGKey(3), residuals, 8, 8,

@@ -51,13 +51,14 @@ def main():
 
     def kernel(idx, parts, tlo, thi):
         # Production kernel: compact fused-epilogue output + block trimming
-        # (_search_qadc_direct_impl).
-        import math as _math
+        # + tile minima for the screen (_search_qadc_direct_impl).
+        from qadc_tpu.kernels.lut_scan import rows_adc_block_rows
 
         pflat = parts.reshape(-1)
-        blk_rows = _math.gcd(512, rpp)
+        blk_rows = rows_adc_block_rows(rpp)
         sz_flat = idx.part_sizes[pflat]
         sz_rows = -(-sz_flat // cpr)
+        tile = 32 if rpp % 32 == 0 else None
         return rows_adc_grouped_prefetch(
             idx.codes.reshape(-1, 128), pflat, tlo, thi, rpp, cb=cb,
             compact_out=True,
@@ -65,20 +66,26 @@ def main():
                 (sz_rows + blk_rows - 1) // blk_rows, 1, rpp // blk_rows
             ).astype(jnp.int32),
             mask_sizes=sz_flat,  # fused validity mask (kernel epilogue)
+            tile_min=tile,
         )
 
-    def mask(idx, parts, d, q):
+    def mask(idx, parts, dm, q):
         # Validity masking is fused into the kernel epilogue (mask_sizes);
-        # this stage is now just the (Q, width) view for the screen.
-        return d.reshape(q, ma * idx.part_pad)
+        # this stage is now just the (Q, width) views for the screen.
+        d, mins = dm
+        return (
+            d.reshape(q, ma * idx.part_pad),
+            mins.reshape(q, ma * idx.part_pad // 32),
+        )
 
-    def screen(idx, parts, d, q, wq):
-        # Production screen: EXACT tile-min cascade at wq == r (ascending
-        # output IS the final ranking — no second top-k, no 2*r
-        # oversampling; the tail is K-dominated).
+    def screen(idx, parts, dm, q, wq):
+        # Production screen: EXACT tile-min cascade at wq == r, fed the
+        # kernel's precomputed tile minima (ascending output IS the final
+        # ranking — no second top-k, no 2*r oversampling).
         from qadc_tpu.ops.topk import exact_tile_screen
 
-        return exact_tile_screen(d, wq)
+        d, mins = dm
+        return exact_tile_screen(d, wq, mins=mins)
 
     def labels_of(idx, parts, col):
         # Winners-only label reconstruction (select-accumulate the partition
@@ -103,10 +110,10 @@ def main():
                 return tlo.sum()
             d = kernel(idx, parts, tlo, thi)
             if upto == 2:
-                return d[0, 0]
+                return d[0][0, 0] + d[1][0, 0]
             d = mask(idx, parts, d, q)
             if upto == 3:
-                return d[0, 0]
+                return d[0][0, 0] + d[1][0, 0]
             sv, col = screen(idx, parts, d, q, r)
             if upto == 4:
                 return sv[0, 0]

@@ -152,7 +152,8 @@ def main():
     print(f"flat anchors: {time.time()-t0:.0f}s", file=sys.stderr, flush=True)
 
     t0 = time.time()
-    coarse = ivf.train_coarse(jax.random.PRNGKey(2), learn, parts, iters=25)
+    coarse = ivf.train_coarse(jax.random.PRNGKey(2), learn, parts, iters=25,
+                              balance_cap=3.0)
     a = np.asarray(assign_nearest(learn, coarse))
     residuals = learn - np.asarray(coarse)[a]
     r88 = train_opq(jax.random.PRNGKey(3), residuals, m8, b8, opq_iters=6, kmeans_iters=12)

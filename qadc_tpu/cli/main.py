@@ -74,7 +74,8 @@ def cmd_create_index(args):
     learn = load_vectors(args.learn)
     key = jax.random.PRNGKey(args.seed)
     k1, k2 = jax.random.split(key)
-    coarse = train_coarse(k1, learn, args.parts)
+    coarse = train_coarse(k1, learn, args.parts,
+                          balance_cap=args.balance_cap or None)
     print(f"coarse quantizer: {args.parts} cells", file=sys.stderr)
     assign = np.asarray(assign_nearest(learn, coarse))
     residuals = learn - np.asarray(coarse)[assign]
@@ -306,6 +307,10 @@ def build_parser():
     c.add_argument("learn", help="learning set .fvecs")
     c.add_argument("index", help="output index directory")
     c.add_argument("--parts", type=int, default=256, help="IVF cells (default 256)")
+    c.add_argument("--balance-cap", type=float, default=3.0,
+                   help="bound the largest cell at this multiple of the "
+                   "mean (splits oversized cells; static-shape padding "
+                   "control — 0 disables; default 3.0)")
     c.add_argument("--sq", default="16x4")
     c.add_argument("--opq", action="store_true")
     c.add_argument("--seed", type=int, default=0)

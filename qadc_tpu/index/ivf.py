@@ -139,10 +139,28 @@ def keep_for_init(init: int, part_count: int, ma: int, n: int) -> float:
     return (init * part_count) / (ma * n)
 
 
-def train_coarse(key, learn_vectors, part_count: int, iters: int = 50):
+def train_coarse(key, learn_vectors, part_count: int, iters: int = 50,
+                 balance_cap: float | None = None):
     """Learn the coarse quantizer (reference: learn_coarse_quantizer,
-    databases.cpp:94-118 — OpenCV kmeans++ + 48 Lloyd iterations)."""
-    centroids, _ = kmeans(key, jnp.asarray(learn_vectors, jnp.float32), part_count, iters)
+    databases.cpp:94-118 — OpenCV kmeans++ + 48 Lloyd iterations).
+
+    balance_cap: optional ratio — bound the largest cell at balance_cap x
+    the mean cell size by splitting oversized cells (K stays part_count;
+    ops.kmeans.balance_centroids). TPU-specific departure: static shapes
+    pad every partition to the largest, so unbounded cell skew inflates
+    the whole index (measured 23x padding / 13x QPS loss at 1M clustered;
+    the reference's variable-length partitions never pay this). 3.0 is a
+    good default for clustered data; None preserves plain Lloyd.
+    """
+    x = jnp.asarray(learn_vectors, jnp.float32)
+    centroids, _ = kmeans(key, x, part_count, iters)
+    if balance_cap is not None:
+        from qadc_tpu.ops.kmeans import balance_centroids
+
+        centroids, _ = balance_centroids(
+            jax.random.fold_in(key, 0x6A1), x, centroids,
+            cap_ratio=balance_cap,
+        )
     return centroids
 
 

@@ -87,3 +87,132 @@ def kmeans(key, x, k: int, iters: int = DEFAULT_ITERS):
     centroids, _ = jax.lax.scan(lloyd, centroids, None, length=iters)
     assign = jnp.argmax(_neg_scores(x, centroids), axis=-1).astype(jnp.int32)
     return centroids, assign
+
+
+@jax.jit
+def median_split(key, xs):
+    """Split points into two BALANCED halves: median cut on the principal axis.
+
+    Vanilla 2-means minimizes SSE, not balance — on a dense ball plus a
+    satellite it splits off the satellite and leaves the ball whole
+    (measured: balance_centroids oscillated without capping). The median
+    cut guarantees each side holds <= ceil(S/2) points, so repeated splits
+    provably shrink the largest cell.
+
+    Args:
+      key: PRNG key (power-iteration init).
+      xs: (S, dim) float32 points.
+
+    Returns:
+      (2, dim) float32 — means of the two halves.
+    """
+    xs = jnp.asarray(xs, jnp.float32)
+    mu = xs.mean(axis=0)
+    xc = xs - mu
+    cov_mul = lambda v: xc.T @ (xc @ v)  # noqa: E731 — (dim,) matvec
+    v = jax.random.normal(key, (xs.shape[1],), jnp.float32)
+
+    def power(v, _):
+        w = cov_mul(v)
+        return w / jnp.maximum(jnp.linalg.norm(w), 1e-30), None
+
+    v, _ = jax.lax.scan(power, v, None, length=8)
+    t = xc @ v
+    med = jnp.median(t)
+    left = t <= med
+    c1 = jnp.where(left[:, None], xs, 0.0).sum(0) / jnp.maximum(
+        left.sum(), 1
+    )
+    c2 = jnp.where(left[:, None], 0.0, xs).sum(0) / jnp.maximum(
+        (~left).sum(), 1
+    )
+    return jnp.stack([c1, c2])
+
+
+@partial(jax.jit, static_argnames=("iters",))
+def lloyd_refine(x, centroids, iters: int = 2):
+    """Lloyd iterations from GIVEN centroids (no re-init).
+
+    Same update rule as kmeans() (empty clusters keep their previous
+    centroid); used by balance_centroids to settle after a split.
+    """
+    x = jnp.asarray(x, jnp.float32)
+    k = centroids.shape[0]
+
+    def step(c, _):
+        assign = jnp.argmax(_neg_scores(x, c), axis=-1)
+        counts = jnp.zeros((k,), jnp.float32).at[assign].add(1.0)
+        sums = jnp.zeros_like(c).at[assign].add(x)
+        new = sums / jnp.maximum(counts, 1.0)[:, None]
+        return jnp.where(counts[:, None] > 0, new, c), None
+
+    out, _ = jax.lax.scan(step, jnp.asarray(centroids, jnp.float32), None,
+                          length=iters)
+    return out
+
+
+def balance_centroids(key, x, centroids, cap_ratio: float = 3.0,
+                      max_rounds: int = 64, settle_iters: int = 0,
+                      split_sample: int = 8192):
+    """Bound the largest cell at cap_ratio x the mean, keeping K fixed.
+
+    TPU static shapes pad every IVF partition to the LARGEST one
+    (index/build.py finalize), so one mega-cell inflates storage, kernel
+    output width, and screen cost for the whole index — measured 23x
+    padding and a 13x QPS collapse at 1M on the clustered SIFT-moment
+    generator (max cell 91k vs mean 3.9k; round-5 RESULTS). The reference
+    never faces this (variable-length partition vectors, databases.hpp:
+    176-331); bounding cell size at BUILD time is the static-shape answer,
+    and finer cells where data is dense also helps recall.
+
+    Each round: assign x; if the largest cell <= cap, done. Otherwise
+    split the largest cell with a principal-axis MEDIAN cut (median_split
+    — balanced by construction, where 2-means would shave off a satellite
+    and oscillate) on a fixed-size member subsample (fixed so the jitted
+    split compiles once) into two centroids, one of which replaces the
+    smallest cell's centroid (K unchanged; the retired cell's members fall
+    to their next-nearest neighbors). settle_iters Lloyd iterations after
+    each split default to 0: Lloyd re-converges toward the SSE optimum,
+    which IS the skewed solution — measured, 2 settle iterations undid
+    every split (max cell 2000 pre-settle -> 3400 post-settle) and the
+    loop never capped. Host-side loop: build-time only.
+
+    Returns (centroids, assignments of x).
+    """
+    import numpy as np
+
+    x = jnp.asarray(x, jnp.float32)
+    n = x.shape[0]
+    k = centroids.shape[0]
+    cap = max(1, int(cap_ratio * n / k))
+    cent = jnp.asarray(centroids, jnp.float32)
+    assign = np.asarray(jnp.argmax(_neg_scores(x, cent), axis=-1))
+    x_np = None
+    for _ in range(max_rounds):
+        counts = np.bincount(assign, minlength=k)
+        big = int(counts.argmax())
+        if counts[big] <= cap:
+            break
+        small = int(counts.argmin())
+        if small == big:  # k == 1 degenerate
+            break
+        if x_np is None:
+            x_np = np.asarray(x)
+        members = np.flatnonzero(assign == big)
+        key, k_pick, k_seed = jax.random.split(key, 3)
+        if members.size > split_sample:
+            pick = np.asarray(
+                jax.random.choice(k_pick, members.size, (split_sample,),
+                                  replace=False)
+            )
+            members = members[pick]
+        else:  # pad by cycling members: fixed shape, uniform duplication
+            members = members[
+                np.arange(split_sample) % max(1, members.size)
+            ]
+        two = median_split(k_seed, x_np[members])
+        cent = cent.at[big].set(two[0]).at[small].set(two[1])
+        if settle_iters:
+            cent = lloyd_refine(x, cent, iters=settle_iters)
+        assign = np.asarray(jnp.argmax(_neg_scores(x, cent), axis=-1))
+    return cent, jnp.asarray(assign, jnp.int32)

@@ -146,3 +146,93 @@ def test_sharded_checkpoint(tmp_path, rng):
         for pi in range(per):
             total_labels.extend(labs[pi, : sizes[pi]].tolist())
     assert sorted(total_labels) == list(range(2000))
+
+
+# ---- byte-level reference-format interop (round-4 VERDICT item 9) ----
+# Fixtures under tests/fixtures/ are written by make_interop_fixtures.py
+# with struct/tofile ONLY, straight from the reference's documented layouts
+# (README.md:344-362 quantizer format; TexMex fvecs) — loading them here is
+# a cross-implementation check, not a self-round-trip.
+
+FIXDIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "fixtures")
+
+
+def _fixture_centroids():
+    dim, m, b = 8, 4, 4
+    k, dsq = 1 << b, dim // m
+    c = np.zeros((m, k, dsq), np.float32)
+    for i in range(m):
+        for j in range(k):
+            for d in range(dsq):
+                c[i, j, d] = i * 1000 + j * 10 + d
+    return c
+
+
+def test_reference_format_interop_pq():
+    from qadc_tpu.quantizers.pq import encode, encode_indices
+
+    pq = load_quantizer_file(os.path.join(FIXDIR, "interop_tiny.pq.data"))
+    assert (pq.dim, pq.sq_count, pq.sq_bits) == (8, 4, 4)
+    np.testing.assert_array_equal(np.asarray(pq.centroids), _fixture_centroids())
+
+    vecs = load_vectors(os.path.join(FIXDIR, "interop_tiny.fvecs"))
+    assert vecs.shape == (3, 8)
+    # Vector v's sub-quantizer i sits exactly ON centroid (v*3+i) % 16.
+    want_idx = np.array([[(v * 3 + i) % 16 for i in range(4)] for v in range(3)])
+    np.testing.assert_array_equal(np.asarray(encode_indices(pq, vecs)), want_idx)
+    # Bit-exact packed bytes per the reference nibble layout
+    # (quantizers.hpp:49-68): byte b = idx[2b] | idx[2b+1] << 4.
+    want_bytes = (want_idx[:, 0::2] | (want_idx[:, 1::2] << 4)).astype(np.uint8)
+    np.testing.assert_array_equal(np.asarray(encode(pq, vecs)), want_bytes)
+
+    # Round-trip through our writer: the re-written file must be
+    # byte-identical to the hand-laid reference bytes.
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        out = os.path.join(td, "rt.pq.data")
+        save_quantizer_file(out, pq)
+        assert open(out, "rb").read() == open(
+            os.path.join(FIXDIR, "interop_tiny.pq.data"), "rb"
+        ).read()
+
+
+def test_reference_format_interop_opq():
+    from qadc_tpu.quantizers.pq import encode_indices
+
+    opq = load_quantizer_file(os.path.join(FIXDIR, "interop_tiny.opq.data"))
+    assert (opq.dim, opq.sq_count, opq.sq_bits) == (8, 4, 4)
+    np.testing.assert_array_equal(np.asarray(opq.centroids), _fixture_centroids())
+    # Rotation is the cyclic permutation r[d, (d+1)%8] = 1; rotate(x) = x@R^T
+    # so rotate(x)[d] = x[(d+1)%8]. Feeding x = roll(w, 1) must therefore
+    # encode exactly like w under plain PQ.
+    want_rot = np.zeros((8, 8), np.float32)
+    for d in range(8):
+        want_rot[d, (d + 1) % 8] = 1.0
+    np.testing.assert_array_equal(np.asarray(opq.rotation), want_rot)
+
+    vecs = load_vectors(os.path.join(FIXDIR, "interop_tiny.fvecs"))
+    rolled = np.roll(vecs, 1, axis=1)
+    want_idx = np.array([[(v * 3 + i) % 16 for i in range(4)] for v in range(3)])
+    np.testing.assert_array_equal(
+        np.asarray(encode_indices(opq, rolled)), want_idx
+    )
+
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        out = os.path.join(td, "rt.opq.data")
+        save_quantizer_file(out, opq)
+        assert open(out, "rb").read() == open(
+            os.path.join(FIXDIR, "interop_tiny.opq.data"), "rb"
+        ).read()
+
+
+def test_reference_format_interop_fvecs_bytes():
+    """The fixture fvecs bytes follow the TexMex layout exactly."""
+    raw = open(os.path.join(FIXDIR, "interop_tiny.fvecs"), "rb").read()
+    assert len(raw) == 3 * (4 + 8 * 4)
+    for v in range(3):
+        off = v * 36
+        assert np.frombuffer(raw[off : off + 4], np.int32)[0] == 8
+    assert vecs_info(os.path.join(FIXDIR, "interop_tiny.fvecs")) == (8, 3)

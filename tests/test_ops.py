@@ -224,3 +224,53 @@ def test_exact_tile_screen_ties_and_infs():
     np.testing.assert_array_equal(
         np.take_along_axis(d, np.asarray(si), axis=-1), np.asarray(sv)
     )
+
+
+def test_balance_centroids_bounds_max_cell(rng):
+    """balance_centroids caps the largest cell at ~cap_ratio x mean with K
+    fixed, and the result stays a valid local k-means (no empty cells
+    created by the retire-smallest step)."""
+    import jax
+
+    from qadc_tpu.ops.kmeans import balance_centroids, kmeans
+
+    # One dominant cluster (40% of mass) + spread: guarantees initial skew.
+    k, n, dim = 16, 8000, 8
+    centers = rng.normal(scale=4.0, size=(64, dim)).astype(np.float32)
+    who = np.where(rng.random(n) < 0.4, 0, rng.integers(0, 64, n))
+    x = centers[who] + rng.normal(size=(n, dim)).astype(np.float32) * 0.3
+    cents, _ = kmeans(jax.random.PRNGKey(0), x, k, iters=10)
+    from qadc_tpu.ops.knn import assign_nearest
+
+    before = np.bincount(np.asarray(assign_nearest(x, cents)), minlength=k)
+    cap_ratio = 2.0
+    out, assign = balance_centroids(
+        jax.random.PRNGKey(1), x, cents, cap_ratio=cap_ratio
+    )
+    after = np.bincount(np.asarray(assign), minlength=k)
+    cap = int(cap_ratio * n / k)
+    assert out.shape == cents.shape
+    assert after.sum() == n
+    assert after.max() <= cap, (before.max(), after.max(), cap)
+    # assignments returned must match the returned centroids
+    np.testing.assert_array_equal(
+        np.asarray(assign), np.asarray(assign_nearest(x, out))
+    )
+
+
+def test_train_coarse_balance_cap_flag(rng):
+    import jax
+
+    from qadc_tpu.index import ivf
+    from qadc_tpu.ops.knn import assign_nearest
+
+    centers = rng.normal(scale=4.0, size=(8, 16)).astype(np.float32)
+    who = np.where(rng.random(4000) < 0.5, 0, rng.integers(0, 8, 4000))
+    x = centers[who] + rng.normal(size=(4000, 16)).astype(np.float32) * 0.2
+    plain = ivf.train_coarse(jax.random.PRNGKey(3), x, 16, iters=8)
+    balanced = ivf.train_coarse(jax.random.PRNGKey(3), x, 16, iters=8,
+                                balance_cap=2.0)
+    c0 = np.bincount(np.asarray(assign_nearest(x, plain)), minlength=16)
+    c1 = np.bincount(np.asarray(assign_nearest(x, balanced)), minlength=16)
+    assert c1.max() <= int(2.0 * 4000 / 16)
+    assert c1.max() < c0.max()
