@@ -697,11 +697,13 @@ def _search_adc4_grouped_impl(
 @partial(jax.jit, static_argnames=("r", "ma", "keep", "prefix_pad", "rerank", "saturate"))
 def _search_qadc_impl(
     index: IVFIndex, queries, r: int, ma: int, keep: float, prefix_pad: int,
-    rerank: bool, saturate: bool = False,
+    rerank: bool, saturate: bool = False, bound=None,
 ):
     # Shared front half: assign, tables, keep-prefix bound (db_query_4.cpp:
     # 230-242), QuantizerMAX int8 quantize (db_query_4.cpp:256-284).
-    parts, tables, qtables, _ = _quantized_tables(index, queries, r, ma, keep, prefix_pad)
+    parts, tables, qtables, _ = _quantized_tables(index, queries, r, ma,
+                                                  keep, prefix_pad,
+                                                  bound_override=bound)
     m = index.pq.sq_count
     q = queries.shape[0]
     sizes = index.part_sizes[parts]  # (Q, ma)
@@ -814,8 +816,17 @@ def rows_adc(rows, tlo_c, thi_c, cb: int, interpret: bool = False):
     return jnp.dot(acc, s_mat, precision=jax.lax.Precision.HIGHEST)
 
 
-def _quantized_tables(index, queries, r, ma, keep, prefix_pad, interpret=False):
+def _quantized_tables(index, queries, r, ma, keep, prefix_pad, interpret=False,
+                      bound_override=None):
     """Shared front half: assign, tables, keep-prefix bound, int8 quantize.
+
+    bound_override: optional (Q,) f32 — per-query quantization bound used
+    INSTEAD of the keep-prefix estimate (the prefix scan is skipped). Lets
+    callers with external knowledge (a previous pass's r-th distance — the
+    TPU analog of the reference's intra-scan bound tightening,
+    simd_scan.hpp:76-118 — or a recorded bound) sharpen int8 resolution:
+    delta = (bound - qmin)/127, so a 2x tighter bound halves the
+    quantization step everywhere below it.
 
     Returns (parts (Q, ma), tables f32 (Q, ma, M, 16), qtables int8,
     (tlo_full, thi_full) row-tiled float tables for reuse by the rerank).
@@ -826,37 +837,40 @@ def _quantized_tables(index, queries, r, ma, keep, prefix_pad, interpret=False):
     q = queries.shape[0]
     qa = q * ma
     sizes = index.part_sizes[parts]
-
-    starts_sizes = jnp.maximum(
-        1, (sizes.astype(jnp.float32) * keep).astype(jnp.int32)
-    )
-    starts_sizes = jnp.where(sizes > 0, starts_sizes, 0)
-    # Keep-prefix distances via whole-ROW128-row gathers + full-lane select-
-    # accumulate (rows_adc): no 4-D small-minor tensors (those get ~7x TPU
-    # layout padding), no element gathers, tables tiled once and shared with
-    # the rerank stage.
     cb = index.pq.code_size
     cpr = index.cpr
-    rows_per_part = index.part_pad // cpr
-    ppr = -(-prefix_pad // cpr)                  # prefix rows per partition
     tlo_full, thi_full = tile_tables_rows(tables.reshape(qa, m, 16))
-    prow = (
-        parts.reshape(qa)[:, None] * rows_per_part
-        + jnp.arange(ppr, dtype=jnp.int32)[None, :]
-    ).reshape(qa * ppr)
-    rows = index.codes.reshape(-1, 128)[prow]               # (QA*ppr, 128)
-    pair_of_row = (
-        jnp.arange(qa, dtype=jnp.int32)[:, None]
-        .repeat(ppr, axis=1).reshape(qa * ppr)
-    )
-    pd = rows_adc(rows, tlo_full[pair_of_row], thi_full[pair_of_row], cb,
-                  interpret=interpret)
-    pd = pd.reshape(q, ma, ppr * cpr)
-    col = jnp.arange(ppr * cpr, dtype=jnp.int32)
-    valid = col[None, None, :] < starts_sizes[:, :, None]
-    bound = keep_prefix_bound(
-        pd.reshape(q, ma * ppr * cpr), r, valid.reshape(q, ma * ppr * cpr)
-    )
+
+    if bound_override is None:
+        starts_sizes = jnp.maximum(
+            1, (sizes.astype(jnp.float32) * keep).astype(jnp.int32)
+        )
+        starts_sizes = jnp.where(sizes > 0, starts_sizes, 0)
+        # Keep-prefix distances via whole-ROW128-row gathers + full-lane
+        # select-accumulate (rows_adc): no 4-D small-minor tensors (those get
+        # ~7x TPU layout padding), no element gathers, tables tiled once and
+        # shared with the rerank stage.
+        rows_per_part = index.part_pad // cpr
+        ppr = -(-prefix_pad // cpr)              # prefix rows per partition
+        prow = (
+            parts.reshape(qa)[:, None] * rows_per_part
+            + jnp.arange(ppr, dtype=jnp.int32)[None, :]
+        ).reshape(qa * ppr)
+        rows = index.codes.reshape(-1, 128)[prow]           # (QA*ppr, 128)
+        pair_of_row = (
+            jnp.arange(qa, dtype=jnp.int32)[:, None]
+            .repeat(ppr, axis=1).reshape(qa * ppr)
+        )
+        pd = rows_adc(rows, tlo_full[pair_of_row], thi_full[pair_of_row], cb,
+                      interpret=interpret)
+        pd = pd.reshape(q, ma, ppr * cpr)
+        col = jnp.arange(ppr * cpr, dtype=jnp.int32)
+        valid = col[None, None, :] < starts_sizes[:, :, None]
+        bound = keep_prefix_bound(
+            pd.reshape(q, ma * ppr * cpr), r, valid.reshape(q, ma * ppr * cpr)
+        )
+    else:
+        bound = jnp.asarray(bound_override, jnp.float32).reshape(q)
 
     tables_nn = jnp.maximum(tables, 0.0)
     max_possible = jnp.max(jnp.sum(jnp.max(tables_nn, axis=-1), axis=-1), axis=-1)
@@ -1131,7 +1145,7 @@ def _search_qadc_direct_impl(
 def _search_qadc_grouped_impl(
     index: IVFIndex, queries, r: int, ma: int, keep: float, prefix_pad: int,
     rerank: bool, group_size: int, window: int, interpret: bool,
-    block_n: int = 2048, saturate: bool = False,
+    block_n: int = 2048, saturate: bool = False, bound=None,
 ):
     """Partition-grouped Quick-ADC IVF search (Pallas kernel path).
 
@@ -1148,7 +1162,8 @@ def _search_qadc_grouped_impl(
     )
 
     parts, tables, qtables, tiles = _quantized_tables(
-        index, queries, r, ma, keep, prefix_pad, interpret=interpret
+        index, queries, r, ma, keep, prefix_pad, interpret=interpret,
+        bound_override=bound,
     )
     q = queries.shape[0]
     m = index.pq.sq_count
@@ -1374,7 +1389,7 @@ def search_qadc(
     grouped_window: int | None = None, interpret: bool = False,
     saturate: bool = False, direct: bool | None = None,
     scan_budget_bytes: int | None = None,
-    block_n: int | None = None,
+    block_n: int | None = None, bound=None,
 ):
     """Quick-ADC IVF search (reference: db_query_4.cpp; requires sq_bits==4).
 
@@ -1397,6 +1412,13 @@ def search_qadc(
     scan transients would exceed this are chunked (default SCAN_BUDGET_BYTES,
     the analog of the reference's TABLES_BUFFER_SIZE batch sizing,
     query_common.hpp:147,171-175).
+    bound: optional (Q,) f32 per-query int8 quantization bound replacing the
+    keep-prefix estimate (the prefix scan is skipped) — the TPU analog of
+    the reference's intra-scan bound tightening (simd_scan.hpp:76-118): a
+    caller can pass a previous pass's r-th distance for finer int8
+    resolution (see _quantized_tables). Ignored by the direct path, whose
+    ranking is exact float and needs no bound; pass direct=False to force
+    the quantized pipeline when measuring bound effects.
 
     Returns (dists (Q, r) float32, labels (Q, r) int32).
     """
@@ -1464,11 +1486,11 @@ def search_qadc(
     if block_n is None:
         block_n = 2048
     if grouped:
-        def run(qs):
+        def run(qs, bd=None):
             return _search_qadc_grouped_impl(
                 index, qs, r, ma, keep, prefix_pad, rerank,
                 group_size, grouped_window, interpret, saturate=saturate,
-                block_n=block_n,
+                block_n=block_n, bound=bd,
             )
 
         lanes = (index.pq.sq_count // 2) * 16
@@ -1482,8 +1504,20 @@ def search_qadc(
             _default_scan_budget() if scan_budget_bytes is None else scan_budget_bytes,
         )
         if chunk < queries.shape[0]:
-            return _run_query_chunks(run, jnp.asarray(queries), chunk)
-        return run(queries)
+            if bound is None:
+                return _run_query_chunks(run, jnp.asarray(queries), chunk)
+            qs_all = jnp.asarray(queries)
+            bd_all = jnp.asarray(bound, jnp.float32)
+            outs = [
+                run(qs_all[s0 : s0 + chunk], bd_all[s0 : s0 + chunk])
+                for s0 in range(0, qs_all.shape[0], chunk)
+            ]
+            return (
+                jnp.concatenate([o[0] for o in outs]),
+                jnp.concatenate([o[1] for o in outs]),
+            )
+        return run(queries, bound)
     return _search_qadc_impl(
-        index, queries, r, ma, keep, prefix_pad, rerank, saturate=saturate
+        index, queries, r, ma, keep, prefix_pad, rerank, saturate=saturate,
+        bound=bound,
     )

@@ -254,3 +254,48 @@ def test_ivf_direct_m32_geometry(rng):
     np.testing.assert_array_equal(np.asarray(l), np.asarray(l_ref))
     np.testing.assert_allclose(np.asarray(d), np.asarray(d_ref),
                                rtol=0, atol=1e-3)
+
+
+def test_search_qadc_bound_override(rng):
+    """bound= replaces the keep-prefix estimate without breaking ranking:
+    a sane external bound (the exact r-th distance) must reproduce the
+    default results, and even a crushingly tight bound keeps the true
+    nearest neighbor at rank 1 (saturation caps competitors at 127, never
+    the minimum; rerank restores exact values)."""
+    import jax
+    import jax.numpy as jnp
+
+    from qadc_tpu.index import ivf
+    from qadc_tpu.ops.knn import assign_nearest, exact_knn
+    from qadc_tpu.quantizers.pq import train_pq
+
+    dim, n, nq, r, ma = 32, 6000, 16, 20, 4
+    centers = rng.normal(scale=2.0, size=(12, dim)).astype(np.float32)
+    base = (centers[rng.integers(0, 12, n)]
+            + rng.normal(size=(n, dim)).astype(np.float32) * 0.5)
+    queries = (centers[rng.integers(0, 12, nq)]
+               + rng.normal(size=(nq, dim)).astype(np.float32) * 0.5)
+    coarse = ivf.train_coarse(jax.random.PRNGKey(0), base, 8, iters=6)
+    a0 = np.asarray(assign_nearest(base, coarse))
+    pq = train_pq(jax.random.PRNGKey(1), base - np.asarray(coarse)[a0], 16, 4,
+                  iters=6)
+    index = ivf.add(ivf.IVFIndex.create(pq, coarse), base)
+    gtd, _ = exact_knn(queries, base, r)
+    gtd = np.asarray(gtd)
+
+    kw = dict(r=r, ma=ma, keep=0.05, direct=False, interpret=True)
+    d0, l0 = ivf.search_qadc(index, queries, **kw)
+    d1, l1 = ivf.search_qadc(index, queries,
+                             bound=jnp.asarray(gtd[:, r - 1] * 1.2), **kw)
+    # A sane bound reproduces the default top-1 and nearly all of top-r.
+    np.testing.assert_array_equal(np.asarray(l0)[:, 0], np.asarray(l1)[:, 0])
+    overlap = np.mean([
+        len(set(np.asarray(l0)[i].tolist())
+            & set(np.asarray(l1)[i].tolist())) / r
+        for i in range(nq)
+    ])
+    assert overlap > 0.9, overlap
+    # Crushing bound: competitors saturate, the minimum never does.
+    d2, l2 = ivf.search_qadc(index, queries,
+                             bound=jnp.asarray(gtd[:, 0] * 1.01), **kw)
+    assert (np.asarray(l2)[:, 0] == np.asarray(l0)[:, 0]).mean() > 0.9
