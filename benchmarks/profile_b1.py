@@ -59,6 +59,10 @@ def main():
         sz_flat = idx.part_sizes[pflat]
         sz_rows = -(-sz_flat // cpr)
         tile = 32 if rpp % 32 == 0 else None
+        qa = pflat.shape[0]
+        ppg = next(
+            (p for p in (4, 3, 2) if qa % p == 0), 1
+        ) if blk_rows == rpp else 1
         return rows_adc_grouped_prefetch(
             idx.codes.reshape(-1, 128), pflat, tlo, thi, rpp, cb=cb,
             compact_out=True,
@@ -67,6 +71,7 @@ def main():
             ).astype(jnp.int32),
             mask_sizes=sz_flat,  # fused validity mask (kernel epilogue)
             tile_min=tile,
+            pairs_per_step=ppg,
         )
 
     def mask(idx, parts, dm, q):

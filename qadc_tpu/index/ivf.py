@@ -1048,6 +1048,15 @@ def _search_qadc_direct_impl(
         sz_flat = index.part_sizes[pflat]                 # real codes per pair
         sz_rows = -(-sz_flat // cpr)                      # rows with real codes
         tile = 32 if rpp % 32 == 0 else None
+        # Fatter grid steps: at the single-block geometry (blk == rpp, no
+        # trimming possible anyway) scan several partitions per step —
+        # amortizes the ~0.5 us/step fixed cost that dominated the b=1
+        # kernel stage (measured 49.9 -> 39.0 us at ppg=3, bit-exact;
+        # benchmarks/ab_b1.py round 5). Beyond ppg~3 the kernel is
+        # VPU-compute-bound, so keep steps small enough to overlap DMA.
+        ppg = next(
+            (p for p in (4, 3, 2) if qa % p == 0), 1
+        ) if blk_rows == rpp else 1
         d = rows_adc_grouped_prefetch(
             index.codes.reshape(-1, 128), pflat, tlo, thi, rpp, cb=cb,
             interpret=interpret, compact_out=True,
@@ -1061,6 +1070,7 @@ def _search_qadc_direct_impl(
             # XLA reduce over the kernel's compact output: the screen never
             # recomputes them from the relayouted full distance array.
             tile_min=tile,
+            pairs_per_step=ppg,
         )
         if tile is not None:
             d, dmins = d                                   # (QA*cpr, rpp/32)
