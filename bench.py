@@ -40,26 +40,32 @@ MXU_INT8_TOPS = 394.0     # v5e
 
 
 def _bench_kernel(rng):
-    """Flat 4-bit LUT-scan kernel: 1M codes x 128 queries, production path."""
+    """Flat 4-bit LUT-scan kernel: 1M codes x 128 queries, production path.
+
+    Round 5: the production flat scan is the tq plane-major kernel
+    (kernels/lut_scan.py:lut_scan_tq — zero expansion matmuls; 63% of the
+    int8-MXU formulation bound vs the row128 kernel's 40%).
+    """
     import jax
     import jax.numpy as jnp
     from qadc_tpu.kernels.lut_scan import (
-        build_scan_tables, lut_scan_reduce, pick_block_n,
+        build_scan_tables_tq, lut_scan_tq, pick_block_n_tq, to_planes,
     )
 
     n, m, q = 1_048_576, 16, 128
     codes = jnp.asarray(rng.integers(0, 256, size=(n // 16, 128), dtype=np.uint8))
     qtables = jnp.asarray(rng.integers(0, 127, size=(q, m, 16)).astype(np.int8))
-    tlo, thi = build_scan_tables(qtables)
-    bn = pick_block_n(n)
+    tcat = build_scan_tables_tq(qtables)
+    bn = pick_block_n_tq(n)
+    planes = to_planes(codes, 8, bn)
 
     def body(args, tap):
-        codes_, tlo_, thi_ = args
+        planes_, tcat_ = args
         d = (tap.astype(jnp.int32) & 1).astype(jnp.int8)
-        vals, _ = lut_scan_reduce(codes_, tlo_ + d, thi_, cb=8, block_n=bn)
+        vals = lut_scan_tq(planes_, tcat_ + d, cb=8, block_n=bn)
         return vals[0, 0].astype(jnp.float32)
 
-    dt = fori_slope_seconds(body, (codes, tlo, thi), k_lo=30, k_hi=150)
+    dt = fori_slope_seconds(body, (planes, tcat), k_lo=30, k_hi=150)
     return n, q, m, dt
 
 

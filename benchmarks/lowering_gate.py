@@ -170,6 +170,15 @@ def _entries():
     yield "flat_m8_8bit_adc_b32", lambda: block(
         flat_mod.search_adc(fx8, qs[32], r=100)
     )
+    # tq plane-major flat scans (round-5 kernel; int8 QADC + f32 ADC).
+    fx4_tq = fx4.with_planes()
+    assert fx4_tq.planes is not None
+    yield "flat_m16_qadc_tq_b128", lambda: block(
+        flat_mod.search_qadc(fx4_tq, qs[128], r=100, keep=0.005)
+    )
+    yield "flat_m16_adc4_f32_tq_b32", lambda: block(
+        flat_mod.search_adc(fx4_tq, qs[32], r=100)
+    )
 
     # rows_adc_grouped_prefetch standalone: the direct path's kernel, with
     # and without tile_min, both table widths.

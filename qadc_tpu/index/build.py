@@ -106,7 +106,7 @@ class FlatBuilder:
             pq=self.pq,
             codes=jnp.asarray(to_row128(pad_codes_to_block(all_codes))),
             n=self.n,
-        )
+        ).with_planes()
 
 
 class IVFBuilder:

@@ -29,11 +29,15 @@ from qadc_tpu.kernels.lut_scan import (
     DEFAULT_BLOCK_N,
     DEFAULT_WINDOW,
     build_scan_tables,
+    build_scan_tables_tq,
     build_scan8_tables,
     lut_scan_reduce,
+    lut_scan_tq,
     lut_scan8_reduce,
     pick_block_n,
+    pick_block_n_tq,
     slots_to_rows,
+    to_planes,
     window_slots,
 )
 from qadc_tpu.kernels.scan_ref import adc_scan_f32, scan_topk_f32, scan_topk_int8
@@ -63,7 +67,7 @@ def _flat_range_count(n_pad: int, qp: int, window: int, budget: int) -> int:
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["pq", "codes"],
+    data_fields=["pq", "codes", "planes"],
     meta_fields=["n"],
 )
 @dataclasses.dataclass(frozen=True)
@@ -76,11 +80,34 @@ class FlatIndex:
         padded tail repeats the last code (labels clamp to n-1, reference
         quirk simd_scan.hpp:67).
       n: real (unpadded) vector count — static.
+      planes: optional (cb, N_pad) uint8 byte-planes (kernels.lut_scan
+        .to_planes at tq_block_n(n_pad)) — the tq scan kernel's storage
+        (63% of the int8-MXU formulation bound vs row128's 40%). None =
+        row128 kernel fallback; derived data, rebuilt on add/load (+cb
+        bytes/code, ~= the codes themselves; both dwarfed by raw vectors).
     """
 
     pq: ProductQuantizer
     codes: jax.Array
     n: int
+    planes: jax.Array | None = None
+
+    def tq_block_n(self) -> int | None:
+        """Planes block size for this geometry (None = tq not applicable)."""
+        cpr = self.cpr
+        window = min(cpr, DEFAULT_WINDOW)
+        if self.pq.sq_bits != 4 or window != cpr:
+            return None
+        return pick_block_n_tq(self.n_pad, window)
+
+    def with_planes(self) -> "FlatIndex":
+        """Return a copy carrying tq planes (no-op when not applicable)."""
+        bn0 = self.tq_block_n()
+        if bn0 is None:
+            return dataclasses.replace(self, planes=None)
+        return dataclasses.replace(
+            self, planes=to_planes(self.codes, self.pq.code_size, bn0)
+        )
 
     @property
     def cpr(self) -> int:
@@ -333,17 +360,33 @@ def search_adc(
         nr = _flat_range_count(n_pad, qp, window, budget)
         range_codes = n_pad // nr
         rows_pr = index.codes.shape[0] // nr
-        bn = pick_block_n(range_codes)
-        tlo, thi = build_scan_tables(tables)
+        bn0 = index.tq_block_n()
+        use_tq = (
+            index.planes is not None
+            and bn0 is not None
+            and range_codes % bn0 == 0
+        )
+        bn = bn0 if use_tq else pick_block_n(range_codes)
+        if use_tq:
+            tcat = build_scan_tables_tq(tables).astype(jnp.float32)
+        else:
+            tlo, thi = build_scan_tables(tables)
         labels_full = index.labels
         best = None
         for ri in range(nr):
             codes_r = index.codes[ri * rows_pr : (ri + 1) * rows_pr]
-            vals, _ = lut_scan_reduce(
-                codes_r, tlo.astype(jnp.float32), thi.astype(jnp.float32),
-                cb=cb, block_n=bn, window=window, acc_dtype_name="float32",
-                interpret=interpret, transpose_out=True,
-            )
+            if use_tq:
+                vals = lut_scan_tq(
+                    index.planes[:, ri * range_codes : (ri + 1) * range_codes],
+                    tcat, cb=cb, block_n=bn, window=window,
+                    acc_dtype_name="float32", interpret=interpret,
+                )
+            else:
+                vals, _ = lut_scan_reduce(
+                    codes_r, tlo.astype(jnp.float32), thi.astype(jnp.float32),
+                    cb=cb, block_n=bn, window=window, acc_dtype_name="float32",
+                    interpret=interpret, transpose_out=True,
+                )
             wq = min(2 * r, range_codes // window)
             size_r = min(max(index.n - ri * range_codes, 0), range_codes)
             dv, dl = window_search_rows(
@@ -488,17 +531,36 @@ def search_qadc(
         nr = _flat_range_count(n_pad, qp, window, budget)
         range_codes = n_pad // nr
         rows_pr = index.codes.shape[0] // nr
-        bn = pick_block_n(range_codes)
-        tlo, thi = build_scan_tables(qtables)
+        # tq (plane-major) kernel when the index carries planes and the
+        # range chunking aligns with their baked-in block size; identical
+        # window ids/minima, ~1.6x the scan rate (kernels/lut_scan.py).
+        bn0 = index.tq_block_n()
+        use_tq = (
+            index.planes is not None
+            and bn0 is not None
+            and range_codes % bn0 == 0
+        )
+        bn = bn0 if use_tq else pick_block_n(range_codes)
+        if use_tq:
+            tcat = build_scan_tables_tq(qtables)
+        else:
+            tlo, thi = build_scan_tables(qtables)
         rank_tables = tables if rerank else qtables.astype(jnp.float32)
         labels_full = index.labels
         best = None
         for ri in range(nr):
             codes_r = index.codes[ri * rows_pr : (ri + 1) * rows_pr]
-            vals, _ = lut_scan_reduce(
-                codes_r, tlo, thi, cb=cb, block_n=bn, window=window,
-                interpret=interpret, transpose_out=True,
-            )
+            if use_tq:
+                vals = lut_scan_tq(
+                    index.planes[:, ri * range_codes : (ri + 1) * range_codes],
+                    tcat, cb=cb, block_n=bn, window=window,
+                    interpret=interpret,
+                )
+            else:
+                vals, _ = lut_scan_reduce(
+                    codes_r, tlo, thi, cb=cb, block_n=bn, window=window,
+                    interpret=interpret, transpose_out=True,
+                )
             if saturate:
                 # Entries >= 0: window-min of saturating sums == min(min, 127).
                 vals = jnp.minimum(vals, 127)

@@ -220,7 +220,10 @@ def load_index(path: str):
     arrays = np.load(os.path.join(path, "arrays.npz"))
     pq = _pq_from(arrays, manifest["pq"], "pq_")
     if manifest["type"] == "flat":
-        return FlatIndex(pq=pq, codes=jnp.asarray(arrays["codes"]), n=int(manifest["n"]))
+        # planes are derived storage (not serialized): rebuild on load.
+        return FlatIndex(
+            pq=pq, codes=jnp.asarray(arrays["codes"]), n=int(manifest["n"])
+        ).with_planes()
     if manifest["type"] == "ivf":
         return IVFIndex(
             pq=pq,

@@ -399,6 +399,174 @@ def lut_scan_reduce(
     return vals, slots_to_rows(slots, block_n, cb)
 
 
+# --- Transposed plane-major ("tq") scan: round-5 formulation-bound attack ---
+#
+# The row128 kernel pays selector (expansion) matmuls equal in int8 MACs to
+# the accumulation itself (docs/kernels.md roofline) — measured 40% of the
+# accumulate-only int8-MXU bound. Storing codes as nibble BYTE-PLANES
+# (cb, N) lets the kernel build the one-hot TRANSPOSED with zero matmuls:
+# sublane-replicate the (cb, g) nibble chunk 16x (one int32 concat per
+# half), one compare against the per-sublane centroid pattern, and contract
+# T_cat (Qp, 2*16cb) @ OH (2*16cb, g) — pure-accumulate MXU work. Window-min
+# is FUSED: the block is processed in g-wide lane chunks (window w = chunk
+# w) min-folded on the fly, so the (Qp, BLK) acc never materializes
+# (scoped vmem is 16 MB on v5e). Measured 1M x 128q (ab_tq_ablate.py,
+# 2026-08-20): 0.277 ms = 484 G cq/s = 63% of the formulation bound vs the
+# row128 kernel's 0.446 ms / 40%. Rejected along the way (same A/B): int8
+# vector compare and int8 vector add (Mosaic: target unsupported), bitplane
+# match-count matmul one-hot (0.488 ms — the extra K=72 matmul + relu on
+# (256, g) eats the compare saving), int16 output (cast cancels the write
+# saving), per-j small compares (0.432 ms — (cb, g) tiles underutilize the
+# VPU).
+#
+# Plane column order preserves the PRODUCTION window semantics: when
+# window == cpr (every flat/grouped 4-bit config), a scan window is exactly
+# one row128 storage row's cpr codes — the property window_rerank's
+# single-row-gather economics depend on. to_planes lays chunk w, lane c of
+# block i at code (i*blk + c*cpr + w), so tq window ids and membership are
+# BIT-IDENTICAL to lut_scan_reduce's: window_slots + slots_to_rows and the
+# whole rerank tail run unchanged. The cost: planes are built per block_n
+# (pick_block_n_tq(n_pad) — deterministic from the geometry alone).
+# Reference hot loop being replaced: simd_scan.hpp:152-186.
+
+
+def to_planes(codes_rows, cb: int, block_n: int):
+    """(N_pad/cpr, 128) u8 row128 storage -> (cb, N_pad) byte-planes.
+
+    Within each block of block_n codes (rblk = block_n/cpr storage rows),
+    chunk w (lanes [w*g, (w+1)*g), g = rblk) lane c holds storage row
+    i*rblk + c's code at in-row position w — so the kernel's chunk-min
+    (window id = output column) reproduces lut_scan_reduce's windows
+    exactly when window == cpr. XLA transpose; run once at build/add time
+    (or on the fly for ad-hoc searches — ~100 us at 1M codes).
+    """
+    cpr = 128 // cb
+    rows = jnp.asarray(codes_rows)
+    r = rows.shape[0]
+    n_pad = r * cpr
+    if n_pad % block_n != 0:
+        raise ValueError(f"N_pad {n_pad} not a multiple of block_n {block_n}")
+    rblk = block_n // cpr
+    nb = n_pad // block_n
+    return (
+        rows.reshape(nb, rblk, cpr, cb).transpose(3, 0, 2, 1).reshape(cb, n_pad)
+    )
+
+
+def build_scan_tables_tq(qtables, q_pad: int | None = None):
+    """Permute tables into the tq kernel's T_cat (Qp, 2*16cb) layout.
+
+    Columns 0..16cb-1 are the lo-nibble rows of build_scan_tables, columns
+    16cb.. the hi rows (the kernel's one-hot is [oh_lo; oh_hi] along
+    sublanes). Works for int8 (Quick-ADC) and float32 (conventional ADC)
+    tables alike.
+    """
+    tlo, thi = build_scan_tables(qtables, q_pad)
+    return jnp.concatenate([tlo.T, thi.T], axis=1)
+
+
+@functools.lru_cache(maxsize=None)
+def _tq_jrow_np(cb: int):
+    lanes = 16 * cb
+    return np.ascontiguousarray(
+        np.broadcast_to((np.arange(lanes) // cb).astype(np.int32)[:, None], (lanes, 128))
+    )
+
+
+def _tq_scan_kernel(planes_ref, tcat_ref, jrow_ref, vals_ref, *, window, cb, acc_dtype):
+    g = vals_ref.shape[1]
+    oh_dtype = jnp.int8 if acc_dtype == jnp.int32 else jnp.float32
+    tcat = tcat_ref[...]
+    jrow = jrow_ref[...][:, 0:1]                         # (16cb, 1) int32
+    m = None
+    for w in range(window):
+        x = planes_ref[:, w * g : (w + 1) * g].astype(jnp.int32)  # (cb, g)
+        lo = x & 15
+        hi = x >> 4
+        rep_lo = jnp.concatenate([lo] * 16, axis=0)      # (16cb, g) int32
+        rep_hi = jnp.concatenate([hi] * 16, axis=0)
+        oh = jnp.concatenate(
+            [(rep_lo == jrow).astype(oh_dtype), (rep_hi == jrow).astype(oh_dtype)],
+            axis=0,
+        )                                                # (2*16cb, g)
+        d = jnp.dot(tcat, oh, preferred_element_type=acc_dtype)
+        m = d if m is None else jnp.minimum(m, d)
+    vals_ref[...] = m
+
+
+def pick_block_n_tq(n_pad: int, window: int = DEFAULT_WINDOW) -> int | None:
+    """Largest legal tq block: divides n_pad, g = blk/window a 128-multiple.
+
+    16384 measured best at 1M x 128q (ab_tq_ablate.py); None = geometry not
+    tq-scannable (callers fall back to the row128 kernel).
+    """
+    for blk in (16384, 8192, 4096, 2048):
+        if n_pad % blk == 0 and blk % (window * 128) == 0:
+            return blk
+    return None
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cb", "block_n", "window", "interpret", "acc_dtype_name"),
+)
+def lut_scan_tq(
+    planes,
+    tables_cat,
+    cb: int = 8,
+    block_n: int = 16384,
+    window: int = DEFAULT_WINDOW,
+    interpret: bool = False,
+    acc_dtype_name: str = "int32",
+):
+    """Plane-major 4-bit scan; per-query window minima, min-only.
+
+    Args:
+      planes: (cb, N_pad) uint8 byte-planes (to_planes with the SAME
+        block_n), N_pad % block_n == 0.
+      tables_cat: (Qp, 2*16cb) int8 or float32 (build_scan_tables_tq).
+      window: reduction window W — must equal cpr (the to_planes layout
+        contract); block_n % (window*128) == 0 (g-wide lane chunks must be
+        128-aligned).
+
+    Returns:
+      vals (Qp, N_pad/W) window minima — bit-identical ids, membership and
+      layout to lut_scan_reduce(transpose_out=True) at window == cpr, so
+      window_slots + slots_to_rows and the rerank tail run unchanged.
+    """
+    n_pad = planes.shape[1]
+    lanes = 16 * cb
+    assert planes.shape[0] == cb
+    assert tables_cat.shape[1] == 2 * lanes, (tables_cat.shape, lanes)
+    qp = tables_cat.shape[0]
+    if n_pad % block_n != 0:
+        raise ValueError(f"N_pad {n_pad} not a multiple of block_n {block_n}")
+    if block_n % (window * 128) != 0:
+        raise ValueError(f"block_n {block_n} not a multiple of {window}*128")
+    acc_dtype = jnp.dtype(acc_dtype_name)
+    g = block_n // window
+    jrow = jnp.asarray(_tq_jrow_np(cb))
+    return pl.pallas_call(
+        functools.partial(
+            _tq_scan_kernel, window=window, cb=cb, acc_dtype=acc_dtype
+        ),
+        grid=(n_pad // block_n,),
+        in_specs=[
+            pl.BlockSpec((cb, block_n), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((qp, 2 * lanes), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((lanes, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((qp, g), lambda i: (0, i), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((qp, n_pad // window), acc_dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * n_pad * lanes * qp,
+            bytes_accessed=n_pad * cb + qp * 2 * lanes + (n_pad // window) * qp * 4,
+            transcendentals=0,
+        ),
+    )(planes, tables_cat, jrow)
+
+
 def _scan_min_vpu_kernel(
     codes_ref, tlo_ref, thi_ref, jpat_ref, e_ref, vals_ref, *, window, cb,
 ):

@@ -467,3 +467,51 @@ def test_int8c_variant_parity(rng):
                             interpret=True, variant="int8c", with_rows=True)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     np.testing.assert_array_equal(np.asarray(ra), np.asarray(rb))
+
+
+@pytest.mark.parametrize("m,window", [(16, 16), (32, 8)])
+def test_tq_scan_bitexact_vs_row128(rng, m, window):
+    """tq (plane-major) kernel == lut_scan_reduce: same window ids, same
+    minima, bit-exact — int32 and float32 accumulation alike."""
+    from qadc_tpu.kernels.lut_scan import (
+        build_scan_tables_tq, lut_scan_tq, to_planes,
+    )
+
+    cb = m // 2
+    n = 8192
+    packed, qt = _setup(rng, n=n, m=m, q=7)
+    rows = jnp.asarray(to_row128(packed))
+    qt_j = jnp.asarray(qt)
+    tlo, thi = build_scan_tables(qt_j)
+    tcat = build_scan_tables_tq(qt_j)
+    bn = 2048
+    planes = to_planes(rows, cb, bn)
+    a, _ = lut_scan_reduce(rows, tlo, thi, cb=cb, block_n=bn, window=window,
+                           interpret=True, transpose_out=True)
+    b = lut_scan_tq(planes, tcat, cb=cb, block_n=bn, window=window,
+                    interpret=True)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    af, _ = lut_scan_reduce(
+        rows, tlo.astype(jnp.float32), thi.astype(jnp.float32), cb=cb,
+        block_n=bn, window=window, interpret=True, transpose_out=True,
+        acc_dtype_name="float32",
+    )
+    bf = lut_scan_tq(planes, tcat.astype(jnp.float32), cb=cb, block_n=bn,
+                     window=window, interpret=True, acc_dtype_name="float32")
+    np.testing.assert_array_equal(np.asarray(af), np.asarray(bf))
+
+
+def test_tq_planes_roundtrip(rng):
+    """to_planes: chunk w, lane c of block i holds code i*blk + c*cpr + w."""
+    from qadc_tpu.kernels.lut_scan import to_planes
+
+    cb, bn = 8, 2048
+    cpr = 128 // cb
+    n = 4096
+    codes = rng.integers(0, 256, size=(n, cb), dtype=np.uint8)
+    rows = jnp.asarray(to_row128(codes))
+    planes = np.asarray(to_planes(rows, cb, bn))
+    g = bn // cpr
+    for (i, w, c) in [(0, 0, 0), (0, 3, 17), (1, 15, 127), (1, 7, 64)]:
+        code = i * bn + c * cpr + w
+        np.testing.assert_array_equal(planes[:, i * bn + w * g + c], codes[code])
