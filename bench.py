@@ -91,7 +91,7 @@ def _make_ivf(rng):
         part_sizes=jnp.asarray(np.full((parts,), 3906, np.int32)),
         n=parts * 3906,
         max_part_size=3906,
-    )
+    ).with_planes()
 
 
 def _bench_ivf_e2e(rng, index, batch, k_lo=20, k_hi=100):
@@ -158,7 +158,7 @@ def _make_ivf8(rng):
         part_sizes=jnp.asarray(np.full((parts,), 3906, np.int32)),
         n=parts * 3906,
         max_part_size=3906,
-    )
+    ).with_planes()
 
 
 def _bench_ivf_adc(rng, index, batch, k_lo=10, k_hi=50):

@@ -71,7 +71,7 @@ def _make_ivf(rng, m=16, parts=256, part_pad=4096, dim=128, sq_bits=4):
         part_sizes=jnp.asarray(sizes.astype(np.int32)),
         n=int(sizes.sum()),
         max_part_size=int(sizes.max()),
-    )
+    ).with_planes()
 
 
 def _entries():
@@ -112,6 +112,13 @@ def _entries():
         yield f"{name}_qadc_direct_b1", direct
         yield f"{name}_qadc_grouped_b32", grouped
 
+    # Row128 grouped fallback must stay compilable (planes=None path).
+    import dataclasses as _dc
+    ix_nopl = _dc.replace(idx4[(16, 4096)], planes=None)
+    yield "ivf_m16_pad4096_qadc_grouped_b32_row128", lambda: block(
+        ivf_mod.search_qadc(ix_nopl, qs[32], r=100, ma=24, keep=0.005,
+                            direct=False)
+    )
     ix = idx4[(16, 4096)]
     yield "ivf_m16_pad4096_qadc_grouped_b128", lambda: block(
         ivf_mod.search_qadc(ix, qs[128], r=100, ma=24, keep=0.005,

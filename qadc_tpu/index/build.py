@@ -67,7 +67,7 @@ def repad_partitions(index: IVFIndex, part_pad: int) -> IVFIndex:
         part_sizes=index.part_sizes,
         n=index.n,
         max_part_size=index.max_part_size,
-    )
+    ).with_planes()
 
 
 class FlatBuilder:
@@ -230,4 +230,4 @@ class IVFBuilder:
             part_sizes=jnp.asarray(self.sizes.astype(np.int32)),
             n=self.n,
             max_part_size=max_size,
-        )
+        ).with_planes()

@@ -29,7 +29,12 @@ import numpy as np
 
 from qadc_tpu.core.layout import codes_per_row
 from qadc_tpu.core.packing import unpack_codes
-from qadc_tpu.kernels.lut_scan import MASK_BIG, slots_to_rows, window_slots
+from qadc_tpu.kernels.lut_scan import (
+    DEFAULT_WINDOW,
+    MASK_BIG,
+    slots_to_rows,
+    window_slots,
+)
 from qadc_tpu.ops.kmeans import kmeans
 from qadc_tpu.ops.knn import exact_knn
 from qadc_tpu.ops.quantization import (
@@ -52,7 +57,8 @@ PART_ALIGN = 512  # partition padding granularity (rows); multiple of the
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["pq", "coarse_centroids", "codes", "labels", "part_sizes"],
+    data_fields=["pq", "coarse_centroids", "codes", "labels", "part_sizes",
+                 "planes"],
     meta_fields=["n", "max_part_size"],
 )
 @dataclasses.dataclass(frozen=True)
@@ -67,6 +73,11 @@ class IVFIndex:
       part_sizes: (P,) int32 real sizes.
       n: total real vector count — static.
       max_part_size: max real partition size — static (for keep slicing).
+      planes: optional (cb, P*part_pad) uint8 byte-planes (to_planes at
+        tq_block_n()) — the tq grouped scan's storage (deletes the row128
+        kernel's expansion matmuls; kernels/lut_scan.py round-5 comment).
+        Derived data: rebuilt on add/load, never serialized. None = row128
+        grouped kernel fallback.
     """
 
     pq: ProductQuantizer
@@ -76,6 +87,7 @@ class IVFIndex:
     part_sizes: jax.Array
     n: int
     max_part_size: int
+    planes: jax.Array | None = None
 
     @property
     def part_count(self) -> int:
@@ -88,6 +100,35 @@ class IVFIndex:
     @property
     def part_pad(self) -> int:
         return self.codes.shape[1] * self.cpr
+
+    def tq_block_n(self) -> int | None:
+        """Grouped tq block size for this geometry (None = not applicable).
+
+        The grouped block policy is gcd(2048, part_pad) (see
+        _search_qadc_grouped_impl); tq additionally needs window == cpr and
+        128-aligned chunk width, i.e. block_n % (cpr*128) == 0.
+        """
+        cpr = self.cpr
+        if self.pq.sq_bits != 4 or cpr > DEFAULT_WINDOW:
+            return None
+        bn = math.gcd(2048, self.part_pad)
+        if bn % (cpr * 128) != 0:
+            return None
+        return bn
+
+    def with_planes(self) -> "IVFIndex":
+        """Return a copy carrying tq planes (no-op when not applicable)."""
+        from qadc_tpu.kernels.lut_scan import to_planes
+
+        bn0 = self.tq_block_n()
+        if bn0 is None:
+            return dataclasses.replace(self, planes=None)
+        return dataclasses.replace(
+            self,
+            planes=to_planes(
+                self.codes.reshape(-1, 128), self.pq.code_size, bn0
+            ),
+        )
 
     @classmethod
     def create(cls, pq: ProductQuantizer, coarse_centroids) -> "IVFIndex":
@@ -640,7 +681,9 @@ def _search_adc4_grouped_impl(
     from qadc_tpu.index.routing import route_queries
     from qadc_tpu.kernels.lut_scan import (
         build_scan_tables,
+        build_scan_tables_tq,
         lut_scan_grouped_prefetch,
+        lut_scan_grouped_tq,
     )
 
     parts, rot = assign_queries(index, queries, ma)
@@ -656,19 +699,35 @@ def _search_adc4_grouped_impl(
     routed = route_queries(parts, index.part_count, group_size)
     g = routed.group_size
 
-    tlo_pairs, thi_pairs = build_scan_tables(tables.reshape(qa, m, 16), q_pad=qa)
-    glo, ghi = _group_table_slabs(
-        routed, tlo_pairs.T.astype(jnp.float32), thi_pairs.T.astype(jnp.float32)
+    use_tq = index.planes is not None and index.tq_block_n() == block_n
+    nblk = _group_nblk(
+        index.part_sizes, routed.group_part, block_n, part_pad // block_n
     )
-
-    vals_rows = lut_scan_grouped_prefetch(
-        index.codes.reshape(-1, 128), routed.group_part, glo, ghi,
-        rows_per_group=part_pad, cb=m // 2, block_n=block_n, window=window,
-        interpret=interpret, transpose_out=True, acc_dtype_name="float32",
-        group_nblk=_group_nblk(
-            index.part_sizes, routed.group_part, block_n, part_pad // block_n
-        ),
-    )
+    if use_tq:
+        tcat_pairs = build_scan_tables_tq(
+            tables.reshape(qa, m, 16), q_pad=qa
+        ).astype(jnp.float32)
+        (gcat,) = _group_table_slabs_tq(routed, tcat_pairs)
+        vals_rows = lut_scan_grouped_tq(
+            index.planes, routed.group_part, gcat,
+            rows_per_group=part_pad, cb=m // 2, block_n=block_n,
+            window=window, interpret=interpret, acc_dtype_name="float32",
+            group_nblk=nblk,
+        )
+    else:
+        tlo_pairs, thi_pairs = build_scan_tables(
+            tables.reshape(qa, m, 16), q_pad=qa
+        )
+        glo, ghi = _group_table_slabs(
+            routed, tlo_pairs.T.astype(jnp.float32),
+            thi_pairs.T.astype(jnp.float32),
+        )
+        vals_rows = lut_scan_grouped_prefetch(
+            index.codes.reshape(-1, 128), routed.group_part, glo, ghi,
+            rows_per_group=part_pad, cb=m // 2, block_n=block_n, window=window,
+            interpret=interpret, transpose_out=True, acc_dtype_name="float32",
+            group_nblk=nblk,
+        )
     c = part_pad // window
     qa_g = routed.qa_group.reshape(qa)
     qa_s = routed.qa_slot.reshape(qa)
@@ -1168,7 +1227,9 @@ def _search_qadc_grouped_impl(
     from qadc_tpu.index.routing import route_queries
     from qadc_tpu.kernels.lut_scan import (
         build_scan_tables,
+        build_scan_tables_tq,
         lut_scan_grouped_prefetch,
+        lut_scan_grouped_tq,
     )
 
     parts, tables, qtables, tiles = _quantized_tables(
@@ -1186,27 +1247,43 @@ def _search_qadc_grouped_impl(
     routed = route_queries(parts, index.part_count, group_size)
     g = routed.group_size
 
-    # Per-pair kernel tables into group slots (_group_table_slabs: scatter
-    # pair ids + row gather; a direct 2-axis scatter is pathological on TPU).
-    tlo_pairs, thi_pairs = build_scan_tables(qtables.reshape(qa, m, 16), q_pad=qa)
-    glo, ghi = _group_table_slabs(routed, tlo_pairs.T, thi_pairs.T)
+    # tq (plane-major) grouped kernel when the index carries planes at this
+    # block size: identical window ids/minima, no expansion matmuls (the
+    # dominant MXU cost at group widths << 128 — kernels/lut_scan.py).
+    use_tq = index.planes is not None and index.tq_block_n() == block_n
     qa_g = routed.qa_group.reshape(qa)
     qa_s = routed.qa_slot.reshape(qa)
-
-    # Scan each group's partition IN PLACE (scalar-prefetch block routing —
-    # no gather copy of the scanned bytes). Codes are row128 storage. The
-    # kernel emits SLOT-MAJOR (gcap*G, C) window minima: the per-block
-    # in-VMEM transpose replaces a whole-array relayout copy here (10.7 ms
-    # of a 130 ms Deep100M b=2048 batch as a separate XLA transpose).
-    # group_nblk trims blocks past each partition's real size (skew control).
-    vals_rows = lut_scan_grouped_prefetch(
-        index.codes.reshape(-1, 128), routed.group_part, glo, ghi,
-        rows_per_group=part_pad, cb=m // 2, block_n=block_n, window=window,
-        interpret=interpret, transpose_out=True,
-        group_nblk=_group_nblk(
-            index.part_sizes, routed.group_part, block_n, part_pad // block_n
-        ),
+    nblk = _group_nblk(
+        index.part_sizes, routed.group_part, block_n, part_pad // block_n
     )
+
+    # Per-pair kernel tables into group slots (_group_table_slabs: scatter
+    # pair ids + row gather; a direct 2-axis scatter is pathological on TPU).
+    # Scan each group's partition IN PLACE (scalar-prefetch block routing —
+    # no gather copy of the scanned bytes). Both kernels emit SLOT-MAJOR
+    # (gcap*G, C) window minima (row128: per-block in-VMEM transpose, which
+    # replaced a 10.7 ms whole-array relayout of a 130 ms Deep100M b=2048
+    # batch; tq: the natural output layout). group_nblk trims blocks past
+    # each partition's real size (skew control).
+    if use_tq:
+        tcat_pairs = build_scan_tables_tq(qtables.reshape(qa, m, 16), q_pad=qa)
+        (gcat,) = _group_table_slabs_tq(routed, tcat_pairs)
+        vals_rows = lut_scan_grouped_tq(
+            index.planes, routed.group_part, gcat,
+            rows_per_group=part_pad, cb=m // 2, block_n=block_n,
+            window=window, interpret=interpret, group_nblk=nblk,
+        )
+    else:
+        tlo_pairs, thi_pairs = build_scan_tables(
+            qtables.reshape(qa, m, 16), q_pad=qa
+        )
+        glo, ghi = _group_table_slabs(routed, tlo_pairs.T, thi_pairs.T)
+        vals_rows = lut_scan_grouped_prefetch(
+            index.codes.reshape(-1, 128), routed.group_part, glo, ghi,
+            rows_per_group=part_pad, cb=m // 2, block_n=block_n,
+            window=window, interpret=interpret, transpose_out=True,
+            group_nblk=nblk,
+        )
     c = part_pad // window
     # Per-pair window minima via a SINGLE-AXIS row gather (slot-major rows —
     # multi-axis fancy gathers lower pathologically on TPU).
@@ -1291,6 +1368,22 @@ def _group_table_slabs(routed, *pair_tables):
             .transpose(0, 2, 1).reshape(gcap * lanes, g)
         )
     return out
+
+
+def _group_table_slabs_tq(routed, *pair_tables):
+    """(QA, 2*lanes) per-pair T_cat rows -> (gcap*G, 2*lanes) slot-major slabs.
+
+    Same scatter-ids + row-gather scheme as _group_table_slabs, but the tq
+    grouped kernel consumes tables SLOT-MAJOR — no per-group transpose.
+    """
+    gcap, g = routed.gcap, routed.group_size
+    qa = routed.qa_group.size
+    qa_g = routed.qa_group.reshape(qa)
+    qa_s = routed.qa_slot.reshape(qa)
+    slot_to_pair = jnp.zeros((gcap * g,), jnp.int32).at[qa_g * g + qa_s].set(
+        jnp.arange(qa, dtype=jnp.int32)
+    )
+    return [t[slot_to_pair] for t in pair_tables]
 
 
 def _window_valid_mask(sz, c: int, block_n: int, window: int, cb: int):

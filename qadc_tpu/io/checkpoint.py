@@ -143,7 +143,7 @@ def load_index_shard(path: str, shard_id: int):
             part_sizes=jnp.asarray(arr["part_sizes"]),
             n=int(manifest["n"]),
             max_part_size=int(manifest["max_part_size"]),
-        ),
+        ).with_planes(),
         manifest,
     )
 
@@ -206,7 +206,7 @@ def load_index_rows(path: str, lo: int, hi: int):
             part_sizes=jnp.asarray(sizes),
             n=int(manifest["n"]),
             max_part_size=int(manifest["max_part_size"]),
-        ),
+        ).with_planes(),
         manifest,
     )
 

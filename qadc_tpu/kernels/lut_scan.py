@@ -473,11 +473,10 @@ def _tq_jrow_np(cb: int):
     )
 
 
-def _tq_scan_kernel(planes_ref, tcat_ref, jrow_ref, vals_ref, *, window, cb, acc_dtype):
-    g = vals_ref.shape[1]
+def _tq_window_min(planes_ref, tcat, jrow, *, window, cb, acc_dtype):
+    """Chunked widecat accumulation: (cb, BLK) planes -> (Qp, BLK/W) minima."""
+    g = planes_ref.shape[1] // window
     oh_dtype = jnp.int8 if acc_dtype == jnp.int32 else jnp.float32
-    tcat = tcat_ref[...]
-    jrow = jrow_ref[...][:, 0:1]                         # (16cb, 1) int32
     m = None
     for w in range(window):
         x = planes_ref[:, w * g : (w + 1) * g].astype(jnp.int32)  # (cb, g)
@@ -491,7 +490,14 @@ def _tq_scan_kernel(planes_ref, tcat_ref, jrow_ref, vals_ref, *, window, cb, acc
         )                                                # (2*16cb, g)
         d = jnp.dot(tcat, oh, preferred_element_type=acc_dtype)
         m = d if m is None else jnp.minimum(m, d)
-    vals_ref[...] = m
+    return m
+
+
+def _tq_scan_kernel(planes_ref, tcat_ref, jrow_ref, vals_ref, *, window, cb, acc_dtype):
+    vals_ref[...] = _tq_window_min(
+        planes_ref, tcat_ref[...], jrow_ref[...][:, 0:1],
+        window=window, cb=cb, acc_dtype=acc_dtype,
+    )
 
 
 def pick_block_n_tq(n_pad: int, window: int = DEFAULT_WINDOW) -> int | None:
@@ -837,6 +843,122 @@ def lut_scan_grouped_prefetch(
             vals.reshape(gcap, c, gq).transpose(0, 2, 1).reshape(gcap * gq, c)
         )
     return vals
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "rows_per_group", "cb", "block_n", "window", "interpret",
+        "acc_dtype_name",
+    ),
+)
+def lut_scan_grouped_tq(
+    planes,
+    group_part,
+    tables_cat_g,
+    rows_per_group: int,
+    cb: int = 8,
+    block_n: int = 2048,
+    window: int = DEFAULT_WINDOW,
+    interpret: bool = False,
+    acc_dtype_name: str = "int32",
+    group_nblk=None,
+):
+    """Grouped IVF scan, tq (plane-major) formulation.
+
+    The row128 grouped kernel's expansion matmuls cost blk*2*16cb*128 int8
+    MACs per block — INDEPENDENT of the group width G, so at G << 128 they
+    dominate the accumulate 128/G : 1. The tq form deletes them (see the
+    round-5 kernel comment above to_planes); the MXU work drops to the
+    accumulate itself and the scan becomes one-hot-build (VPU) + DMA bound.
+
+    Args:
+      planes: (cb, P * rows_per_group) uint8 — per-partition byte-planes in
+        to_planes order at THIS block_n (partition p = lane columns
+        [p*rows_per_group, (p+1)*rows_per_group)).
+      group_part: (GCAP,) int32 — partition scanned by each group.
+      tables_cat_g: (GCAP * G, 2*16cb) slot-major T_cat slabs (int8 or f32)
+        — _group_table_slabs_tq (NO per-group transpose, unlike the row128
+        slabs).
+      group_nblk: optional (GCAP,) trimming as in lut_scan_grouped_prefetch.
+
+    Returns:
+      vals (GCAP*G, rows_per_group/W) window minima, slot-major — the
+      transpose_out=True layout of lut_scan_grouped_prefetch with identical
+      window ids/membership (window == cpr contract, to_planes).
+    """
+    cpr = 128 // cb
+    lanes = 16 * cb
+    total_t, lanes2 = tables_cat_g.shape
+    assert lanes2 == 2 * lanes, (tables_cat_g.shape, lanes)
+    gcap = group_part.shape[0]
+    gq = total_t // gcap
+    assert planes.shape[0] == cb
+    if rows_per_group % block_n != 0:
+        raise ValueError(f"block_n {block_n} must divide rows_per_group {rows_per_group}")
+    if block_n % (window * 128) != 0:
+        raise ValueError(f"block_n {block_n} not a multiple of {window}*128")
+    if window != cpr:
+        raise ValueError(f"tq grouped requires window == cpr ({window} != {cpr})")
+    acc_dtype = jnp.dtype(acc_dtype_name)
+    nblocks = rows_per_group // block_n
+    g = block_n // window
+    jrow = jnp.asarray(_tq_jrow_np(cb))
+    if group_nblk is None:
+        group_nblk = jnp.full((gcap,), nblocks, jnp.int32)
+    sentinel = _TRIM_SENTINEL_I32 if acc_dtype == jnp.int32 else jnp.inf
+
+    def kernel(gp_ref, gnb_ref, planes_ref, tcat_ref, jrow_ref, vals_ref):
+        i = pl.program_id(0)
+        live = (i % nblocks) < gnb_ref[i // nblocks]
+
+        @pl.when(live)
+        def _():
+            vals_ref[...] = _tq_window_min(
+                planes_ref, tcat_ref[...], jrow_ref[...][:, 0:1],
+                window=window, cb=cb, acc_dtype=acc_dtype,
+            )
+
+        @pl.when(jnp.logical_not(live))
+        def _():
+            vals_ref[...] = jnp.full(vals_ref.shape, sentinel, acc_dtype)
+
+    def planes_map(i, gp, gnb):
+        # Trimmed steps re-read the group's last live block (same lane-block
+        # index -> Pallas skips the HBM DMA entirely).
+        return (
+            0,
+            gp[i // nblocks] * nblocks
+            + jnp.minimum(i % nblocks, gnb[i // nblocks] - 1),
+        )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(gcap * nblocks,),
+        in_specs=[
+            pl.BlockSpec((cb, block_n), planes_map),
+            pl.BlockSpec((gq, 2 * lanes), lambda i, gp, gnb: (i // nblocks, 0)),
+            pl.BlockSpec((lanes, 128), lambda i, gp, gnb: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (gq, g), lambda i, gp, gnb: (i // nblocks, i % nblocks)
+        ),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (gcap * gq, rows_per_group // window), acc_dtype
+        ),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * gcap * rows_per_group * lanes * gq,
+            bytes_accessed=gcap * rows_per_group * cb
+            + total_t * 2 * lanes
+            + gcap * gq * (rows_per_group // window) * 4,
+            transcendentals=0,
+        ),
+    )(group_part, group_nblk, planes, tables_cat_g, jrow)
 
 
 def _rows_adc_mux_enabled() -> bool:

@@ -257,3 +257,34 @@ def test_governor_budgets_rerank_tail(built):
     # Chunking changes XLA's GEMM reduction order in the table build, so
     # float distances agree to rounding, not bit-exactly.
     np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), rtol=1e-5)
+
+
+def test_grouped_tq_matches_row128(built):
+    """tq (plane-major) grouped kernel == row128 grouped kernel, bit-exact:
+    identical window ids/minima by the to_planes contract, so the whole
+    search must return identical results. Covers int8 Quick-ADC and f32
+    conventional ADC, with ragged-partition trimming in play."""
+    import dataclasses
+
+    from qadc_tpu.index.build import repad_partitions
+
+    index, queries, gt = built
+    # Force a tq-legal geometry (part_pad % 2048 == 0 -> block_n 2048).
+    pad = -(-index.part_pad // 2048) * 2048
+    ix = repad_partitions(index, pad)
+    assert ix.planes is not None and ix.tq_block_n() == 2048
+    ix0 = dataclasses.replace(ix, planes=None)
+
+    d1, l1 = ivf.search_qadc(
+        ix, queries, r=100, ma=6, keep=0.05, grouped=True, interpret=True
+    )
+    d0, l0 = ivf.search_qadc(
+        ix0, queries, r=100, ma=6, keep=0.05, grouped=True, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(l1), np.asarray(l0))
+    np.testing.assert_array_equal(np.asarray(d1), np.asarray(d0))
+
+    d1, l1 = ivf.search_adc(ix, queries, r=100, ma=6, interpret=True)
+    d0, l0 = ivf.search_adc(ix0, queries, r=100, ma=6, interpret=True)
+    np.testing.assert_array_equal(np.asarray(l1), np.asarray(l0))
+    np.testing.assert_array_equal(np.asarray(d1), np.asarray(d0))
