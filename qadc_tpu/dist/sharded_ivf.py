@@ -17,6 +17,7 @@ Per query batch:
 
 from __future__ import annotations
 
+import dataclasses
 from functools import partial
 
 import jax
@@ -34,8 +35,11 @@ from qadc_tpu.index.ivf import (
 from qadc_tpu.index.routing import route_queries
 from qadc_tpu.kernels.lut_scan import (
     build_scan_tables,
+    build_scan_tables_tq,
     lut_scan_grouped_prefetch,
+    lut_scan_grouped_tq,
     slots_to_rows,
+    to_planes,
     window_slots,
 )
 from qadc_tpu.ops.quantization import (
@@ -70,7 +74,7 @@ def shard_ivf_partitions(index: IVFIndex, mesh) -> IVFIndex:
         far = np.full((extra, coarse.shape[1]), 1e30, np.float32)
         coarse = np.concatenate([coarse, far])
     shard = NamedSharding(mesh, P(SHARD_AXIS))
-    return IVFIndex(
+    out = IVFIndex(
         pq=index.pq,
         coarse_centroids=jnp.asarray(coarse),  # replicated
         codes=jax.device_put(jnp.asarray(codes), NamedSharding(mesh, P(SHARD_AXIS, None, None))),
@@ -79,6 +83,22 @@ def shard_ivf_partitions(index: IVFIndex, mesh) -> IVFIndex:
         n=index.n,
         max_part_size=index.max_part_size,
     )
+    bn0 = out.tq_block_n()
+    if bn0 is not None:
+        # tq byte-planes, sharded along the partition-column axis (partition
+        # p = columns [p*part_pad, (p+1)*part_pad), so P(None, SHARD_AXIS)
+        # slices on partition boundaries — each shard's lane slice is its
+        # own partitions' planes).
+        planes = to_planes(
+            jnp.asarray(codes).reshape(-1, 128), index.pq.code_size, bn0
+        )
+        out = dataclasses.replace(
+            out,
+            planes=jax.device_put(
+                planes, NamedSharding(mesh, P(None, SHARD_AXIS))
+            ),
+        )
+    return out
 
 
 def load_sharded_index(path: str, mesh) -> IVFIndex:
@@ -135,7 +155,15 @@ def load_sharded_index(path: str, mesh) -> IVFIndex:
             NamedSharding(mesh, spec), arr, (p_pad,) + arr.shape[1:]
         )
 
-    return IVFIndex(
+    def mk_cols(arr, spec):
+        # Axis-1-sharded assembly (planes: global (cb, p_pad*part_pad)).
+        arr = np.asarray(arr)
+        pp = local.part_pad
+        return jax.make_array_from_process_local_data(
+            NamedSharding(mesh, spec), arr, (arr.shape[0], p_pad * pp)
+        )
+
+    out = IVFIndex(
         pq=local.pq,
         coarse_centroids=jnp.asarray(coarse),  # replicated
         codes=mk(local.codes, P(SHARD_AXIS, None, None)),
@@ -144,6 +172,14 @@ def load_sharded_index(path: str, mesh) -> IVFIndex:
         n=local.n,
         max_part_size=local.max_part_size,
     )
+    if local.planes is not None:
+        # local.planes (built by load_index_rows().with_planes()) covers this
+        # process's contiguous partitions; the global lane axis concatenates
+        # process slices in order — exactly P(None, SHARD_AXIS).
+        out = dataclasses.replace(
+            out, planes=mk_cols(local.planes, P(None, SHARD_AXIS))
+        )
+    return out
 
 
 @partial(
@@ -182,7 +218,9 @@ def _search_impl(
     qmin = jnp.min(tables_nn, axis=(-3, -2, -1))
     tflat = tables.reshape(qa, m * 16)
 
-    def local_shard(codes_l, labels_l, sizes_l, parts_g, tflat_g, maxp, qmn):
+    use_tq = index.planes is not None and index.tq_block_n() == block_n
+
+    def local_shard(codes_l, labels_l, sizes_l, planes_l, parts_g, tflat_g, maxp, qmn):
         shard_i = jax.lax.axis_index(SHARD_AXIS)
         offset = shard_i * p_loc
         parts_local = parts_g - offset                      # (Q, ma)
@@ -243,32 +281,45 @@ def _search_impl(
             gcap, g = routed.gcap, routed.group_size
             qa_g = routed.qa_group.reshape(qac)
             qa_s = routed.qa_slot.reshape(qac)
-            tlo_p, thi_p = build_scan_tables(
-                qtables_c.reshape(qac, m, 16), q_pad=qac
-            )
-            tlo_p, thi_p = tlo_p.T, thi_p.T
             s2p = jnp.zeros((gcap * g,), jnp.int32).at[qa_g * g + qa_s].set(
                 jnp.arange(qac, dtype=jnp.int32)
             )
-            glo = (
-                tlo_p[s2p].reshape(gcap, g, lanes).transpose(0, 2, 1)
-                .reshape(gcap * lanes, g)
-            )
-            ghi = (
-                thi_p[s2p].reshape(gcap, g, lanes).transpose(0, 2, 1)
-                .reshape(gcap * lanes, g)
+            nblk = _group_nblk(
+                sizes_l, routed.group_part, block_n, part_pad // block_n
             )
             # Slot-major kernel output: skips the (gcap, C, G) -> (gcap, G, C)
             # relayout copy (see index.ivf._search_qadc_grouped_impl).
             # group_nblk trims blocks past each partition's real size.
-            vals_rows = lut_scan_grouped_prefetch(
-                codes_l.reshape(-1, 128), routed.group_part, glo, ghi,
-                rows_per_group=part_pad, cb=cb, block_n=block_n, window=window,
-                interpret=interpret, transpose_out=True,
-                group_nblk=_group_nblk(
-                    sizes_l, routed.group_part, block_n, part_pad // block_n
-                ),
-            )
+            # tq (plane-major) kernel when the index carries sharded planes
+            # — identical window ids/minima, no expansion matmuls.
+            if use_tq:
+                tcat_p = build_scan_tables_tq(
+                    qtables_c.reshape(qac, m, 16), q_pad=qac
+                )
+                vals_rows = lut_scan_grouped_tq(
+                    planes_l, routed.group_part, tcat_p[s2p],
+                    rows_per_group=part_pad, cb=cb, block_n=block_n,
+                    window=window, interpret=interpret, group_nblk=nblk,
+                )
+            else:
+                tlo_p, thi_p = build_scan_tables(
+                    qtables_c.reshape(qac, m, 16), q_pad=qac
+                )
+                tlo_p, thi_p = tlo_p.T, thi_p.T
+                glo = (
+                    tlo_p[s2p].reshape(gcap, g, lanes).transpose(0, 2, 1)
+                    .reshape(gcap * lanes, g)
+                )
+                ghi = (
+                    thi_p[s2p].reshape(gcap, g, lanes).transpose(0, 2, 1)
+                    .reshape(gcap * lanes, g)
+                )
+                vals_rows = lut_scan_grouped_prefetch(
+                    codes_l.reshape(-1, 128), routed.group_part, glo, ghi,
+                    rows_per_group=part_pad, cb=cb, block_n=block_n,
+                    window=window, interpret=interpret, transpose_out=True,
+                    group_nblk=nblk,
+                )
             c = part_pad // window
             cv = vals_rows[qa_g * g + qa_s].astype(jnp.float32)
             win_ids = jnp.arange(c, dtype=jnp.int32)
@@ -334,6 +385,7 @@ def _search_impl(
         )
         return topk_smallest(all_v, all_l, r)
 
+    planes_arg = index.planes if use_tq else jnp.zeros((1, d), jnp.uint8)
     shard_fn = jax.shard_map(
         local_shard,
         mesh=mesh,
@@ -341,13 +393,15 @@ def _search_impl(
             P(SHARD_AXIS, None, None),  # codes
             P(SHARD_AXIS, None),        # labels
             P(SHARD_AXIS),              # sizes
+            P(None, SHARD_AXIS),        # planes (dummy (1, d) when unused)
             P(), P(), P(), P(),         # parts, tflat, max_possible, qmin
         ),
         out_specs=(P(), P()),
         check_vma=False,
     )
     return shard_fn(
-        index.codes, index.labels, index.part_sizes, parts, tflat, max_possible, qmin
+        index.codes, index.labels, index.part_sizes, planes_arg, parts, tflat,
+        max_possible, qmin
     )
 
 

@@ -118,3 +118,27 @@ def test_sharded_overlap_chunks_identical(built):
     # Non-dividing chunk counts fall back to 1 (still correct).
     d3, l3 = search_qadc_ivf_sharded(sharded, queries, overlap_chunks=5, **kw)
     np.testing.assert_array_equal(np.asarray(l1), np.asarray(l3))
+
+
+def test_sharded_tq_matches_row128(built):
+    """Sharded tq grouped kernel == sharded row128 kernel, bit-exact
+    (planes present vs stripped on the same repadded index)."""
+    import dataclasses
+
+    from qadc_tpu.index.build import repad_partitions
+
+    index, queries, gt = built
+    pad = -(-index.part_pad // 2048) * 2048
+    ix = repad_partitions(index, pad)
+    mesh = make_mesh()
+    sharded = shard_ivf_partitions(ix, mesh)
+    assert sharded.planes is not None and sharded.tq_block_n() == 2048
+    sharded0 = dataclasses.replace(sharded, planes=None)
+    d1, l1 = search_qadc_ivf_sharded(
+        sharded, queries, r=50, ma=6, keep=0.05, mesh=mesh, interpret=True
+    )
+    d0, l0 = search_qadc_ivf_sharded(
+        sharded0, queries, r=50, ma=6, keep=0.05, mesh=mesh, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(l1), np.asarray(l0))
+    np.testing.assert_array_equal(np.asarray(d1), np.asarray(d0))
