@@ -135,6 +135,10 @@ def _entries():
     yield "ivf_m8_8bit_adc_b32", lambda: block(
         ivf_mod.search_adc(ix8, qs[32], r=100, ma=24)
     )
+    ix8_nopl = _dc.replace(ix8, planes=None)
+    yield "ivf_m8_8bit_adc_b32_row128", lambda: block(
+        ivf_mod.search_adc(ix8_nopl, qs[32], r=100, ma=24)
+    )
 
     # Flat paths: lut_scan_reduce / lut_scan8_reduce at 256k codes.
     def flat_entries():

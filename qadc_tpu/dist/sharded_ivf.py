@@ -218,7 +218,11 @@ def _search_impl(
     qmin = jnp.min(tables_nn, axis=(-3, -2, -1))
     tflat = tables.reshape(qa, m * 16)
 
-    use_tq = index.planes is not None and index.tq_block_n() == block_n
+    use_tq = (
+        index.planes is not None
+        and index.tq_block_n() == block_n
+        and block_n % (window * 128) == 0
+    )
 
     def local_shard(codes_l, labels_l, sizes_l, planes_l, parts_g, tflat_g, maxp, qmn):
         shard_i = jax.lax.axis_index(SHARD_AXIS)

@@ -104,15 +104,21 @@ class IVFIndex:
     def tq_block_n(self) -> int | None:
         """Grouped tq block size for this geometry (None = not applicable).
 
-        The grouped block policy is gcd(2048, part_pad) (see
-        _search_qadc_grouped_impl); tq additionally needs window == cpr and
-        128-aligned chunk width, i.e. block_n % (cpr*128) == 0.
+        Matches the grouped block policies (4-bit: gcd(2048, part_pad) at
+        window=min(cpr,16), _search_qadc_grouped_impl; 8-bit:
+        gcd(1024, part_pad) at window=8, _search_adc8_grouped_impl); tq
+        additionally needs 128-aligned chunk width, block_n % (W*128) == 0.
         """
         cpr = self.cpr
-        if self.pq.sq_bits != 4 or cpr > DEFAULT_WINDOW:
+        if self.pq.sq_bits == 4:
+            window = min(cpr, DEFAULT_WINDOW)
+            bn = math.gcd(2048, self.part_pad)
+        elif self.pq.sq_bits == 8:
+            window = min(cpr, 8)
+            bn = math.gcd(1024, self.part_pad)
+        else:
             return None
-        bn = math.gcd(2048, self.part_pad)
-        if bn % (cpr * 128) != 0:
+        if bn % (window * 128) != 0:
             return None
         return bn
 
@@ -423,18 +429,33 @@ def _search_adc8_grouped_impl(
     g = routed.group_size
 
     t8 = build_scan8_tables(tables.reshape(qa, m, 256), q_pad=qa).T  # (QA, lanes)
-    (tg,) = _group_table_slabs(routed, t8)
     qa_g = routed.qa_group.reshape(qa)
     qa_s = routed.qa_slot.reshape(qa)
 
-    vals_rows, slot_rows = lut_scan8_grouped_prefetch(
-        index.codes.reshape(-1, 128), routed.group_part, tg,
-        rows_per_group=part_pad, m=m, block_n=block_n, window=window,
-        interpret=interpret, transpose_out=True,
-        group_nblk=_group_nblk(
-            index.part_sizes, routed.group_part, block_n, part_pad // block_n
-        ),
+    nblk = _group_nblk(
+        index.part_sizes, routed.group_part, block_n, part_pad // block_n
     )
+    # tq (plane-major) kernel when the index carries planes at this block
+    # size — deletes the bf16 expansion matmul and the deinterleave rolls;
+    # identical window minima/slots (to_planes production slot order).
+    if index.planes is not None and index.tq_block_n() == block_n \
+            and block_n % (window * 128) == 0:
+        from qadc_tpu.kernels.lut_scan import lut_scan8_grouped_tq
+
+        (tg,) = _group_table_slabs_tq(routed, t8)
+        vals_rows, slot_rows = lut_scan8_grouped_tq(
+            index.planes, routed.group_part, tg,
+            rows_per_group=part_pad, m=m, block_n=block_n, window=window,
+            interpret=interpret, group_nblk=nblk,
+        )
+    else:
+        (tg,) = _group_table_slabs(routed, t8)
+        vals_rows, slot_rows = lut_scan8_grouped_prefetch(
+            index.codes.reshape(-1, 128), routed.group_part, tg,
+            rows_per_group=part_pad, m=m, block_n=block_n, window=window,
+            interpret=interpret, transpose_out=True,
+            group_nblk=nblk,
+        )
     c = part_pad // window
     cv = vals_rows[qa_g * g + qa_s]                       # (QA, C) [row gather]
     sl = slot_rows[qa_g * g + qa_s]                       # (QA, C) local slots
@@ -699,7 +720,11 @@ def _search_adc4_grouped_impl(
     routed = route_queries(parts, index.part_count, group_size)
     g = routed.group_size
 
-    use_tq = index.planes is not None and index.tq_block_n() == block_n
+    use_tq = (
+        index.planes is not None
+        and index.tq_block_n() == block_n
+        and block_n % (window * 128) == 0
+    )
     nblk = _group_nblk(
         index.part_sizes, routed.group_part, block_n, part_pad // block_n
     )
@@ -1194,7 +1219,13 @@ def _search_qadc_direct_impl(
     # are per-element expensive, so gather AFTER the final cut): ma is
     # small, so select-accumulate the partition ids, then one (Q, r)
     # element gather.
-    part_sel = _select_cols(parts, a_id, ma)              # (Q, r) int32
+    # ma select-accumulate passes win at batch (element gathers are
+    # ~9 ns/el: 115 us at (128, 200)); at q<=4 the ma+~dispatch-bound tiny
+    # passes lose to one small element gather (<=0.9 us/100 els).
+    if q <= 4:
+        part_sel = jnp.take_along_axis(parts, a_id, axis=1)
+    else:
+        part_sel = _select_cols(parts, a_id, ma)          # (Q, r) int32
     code_local = (within % rpp) * cpr + within // rpp     # -> local code id
     fl = index.labels.reshape(-1)[part_sel * index.part_pad + code_local]
     # Dead slots (r > valid candidates, or the r > wq pad above whose col=0
@@ -1250,7 +1281,11 @@ def _search_qadc_grouped_impl(
     # tq (plane-major) grouped kernel when the index carries planes at this
     # block size: identical window ids/minima, no expansion matmuls (the
     # dominant MXU cost at group widths << 128 — kernels/lut_scan.py).
-    use_tq = index.planes is not None and index.tq_block_n() == block_n
+    use_tq = (
+        index.planes is not None
+        and index.tq_block_n() == block_n
+        and block_n % (window * 128) == 0
+    )
     qa_g = routed.qa_group.reshape(qa)
     qa_s = routed.qa_slot.reshape(qa)
     nblk = _group_nblk(

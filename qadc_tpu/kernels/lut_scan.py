@@ -433,12 +433,14 @@ def lut_scan_reduce(
 def to_planes(codes_rows, cb: int, block_n: int):
     """(N_pad/cpr, 128) u8 row128 storage -> (cb, N_pad) byte-planes.
 
-    Within each block of block_n codes (rblk = block_n/cpr storage rows),
-    chunk w (lanes [w*g, (w+1)*g), g = rblk) lane c holds storage row
-    i*rblk + c's code at in-row position w — so the kernel's chunk-min
-    (window id = output column) reproduces lut_scan_reduce's windows
-    exactly when window == cpr. XLA transpose; run once at build/add time
-    (or on the fly for ad-hoc searches — ~100 us at 1M codes).
+    Within each block of block_n codes, column s holds the code of
+    production SLOT s (slot s = c*rblk + rr <-> storage row i*rblk + rr,
+    in-row position c — the row128 kernels' deinterleave order). A tq
+    kernel chunking at g = block_n/W then min-folding therefore reproduces
+    lut_scan_reduce's window ids and membership for ANY window W (window j
+    = slots {w*g + j}), not just W == cpr; the only constraint is the
+    lane-slice alignment g % 128 == 0. XLA transpose; run once at
+    build/add time (or on the fly for ad-hoc searches — ~100 us at 1M).
     """
     cpr = 128 // cb
     rows = jnp.asarray(codes_rows)
@@ -531,9 +533,8 @@ def lut_scan_tq(
       planes: (cb, N_pad) uint8 byte-planes (to_planes with the SAME
         block_n), N_pad % block_n == 0.
       tables_cat: (Qp, 2*16cb) int8 or float32 (build_scan_tables_tq).
-      window: reduction window W — must equal cpr (the to_planes layout
-        contract); block_n % (window*128) == 0 (g-wide lane chunks must be
-        128-aligned).
+      window: reduction window W; block_n % (window*128) == 0 (g-wide lane
+        chunks must be 128-aligned).
 
     Returns:
       vals (Qp, N_pad/W) window minima — bit-identical ids, membership and
@@ -898,8 +899,6 @@ def lut_scan_grouped_tq(
         raise ValueError(f"block_n {block_n} must divide rows_per_group {rows_per_group}")
     if block_n % (window * 128) != 0:
         raise ValueError(f"block_n {block_n} not a multiple of {window}*128")
-    if window != cpr:
-        raise ValueError(f"tq grouped requires window == cpr ({window} != {cpr})")
     acc_dtype = jnp.dtype(acc_dtype_name)
     nblocks = rows_per_group // block_n
     g = block_n // window
@@ -1855,6 +1854,134 @@ def lut_scan8_grouped_prefetch(
             for x in (vals, slots)
         )
     return vals, slots
+
+
+@functools.lru_cache(maxsize=None)
+def _tq_jrow8_np(m: int):
+    lanes = m * 256
+    return np.ascontiguousarray(
+        np.broadcast_to((np.arange(lanes) // m).astype(np.int32)[:, None], (lanes, 128))
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("rows_per_group", "m", "block_n", "window", "interpret"),
+)
+def lut_scan8_grouped_tq(
+    planes,
+    group_part,
+    tables_cat_g,
+    rows_per_group: int,
+    m: int = 8,
+    block_n: int = 1024,
+    window: int = 8,
+    interpret: bool = False,
+    group_nblk=None,
+):
+    """Grouped 8-bit ADC scan, tq (plane-major) formulation.
+
+    The 8-bit analog of lut_scan_grouped_tq: byte-planes replace the row128
+    deinterleave + bf16 expansion matmul (blk*m*256 bf16 MACs per block,
+    independent of the group width); the 256-wide one-hot builds transposed
+    with one sublane replication + one int32 compare per chunk. Emits the
+    SAME window minima + GROUP-LOCAL arg slots as lut_scan8_grouped_prefetch
+    (slot ids are production slot order by the to_planes contract), in the
+    slot-major (GCAP*G, C) transpose_out layout.
+
+    Args:
+      planes: (m, P * rows_per_group) uint8 byte-planes (to_planes at THIS
+        block_n; code_size == m at 8 bits).
+      tables_cat_g: (GCAP*G, m*256) slot-major bf16 slabs
+        (_group_table_slabs_tq of build_scan8_tables(...).T rows).
+    """
+    lanes = m * 256
+    total_t, lanes2 = tables_cat_g.shape
+    assert lanes2 == lanes, (tables_cat_g.shape, lanes)
+    gcap = group_part.shape[0]
+    gq = total_t // gcap
+    assert planes.shape[0] == m
+    if rows_per_group % block_n != 0:
+        raise ValueError(f"block_n {block_n} must divide rows_per_group {rows_per_group}")
+    if block_n % (window * 128) != 0:
+        raise ValueError(f"block_n {block_n} not a multiple of {window}*128")
+    nblocks = rows_per_group // block_n
+    g = block_n // window
+    jrow = jnp.asarray(_tq_jrow8_np(m))
+    if group_nblk is None:
+        group_nblk = jnp.full((gcap,), nblocks, jnp.int32)
+
+    def body(planes_ref, tcat_ref, jrow_ref, vals_ref, idx_ref, base):
+        tcat = tcat_ref[...]
+        jr = jrow_ref[...][:, 0:1]                       # (m*256, 1) int32
+        m_v = None
+        arg = None
+        for w in range(window):
+            x = planes_ref[:, w * g : (w + 1) * g].astype(jnp.int32)  # (m, g)
+            rep = jnp.concatenate([x] * 256, axis=0)     # (m*256, g) int32
+            oh = (rep == jr).astype(jnp.bfloat16)
+            d = jnp.dot(tcat, oh, preferred_element_type=jnp.float32)
+            if m_v is None:
+                m_v = d
+                arg = jnp.zeros(d.shape, jnp.int32)
+            else:
+                take = d < m_v
+                m_v = jnp.where(take, d, m_v)
+                arg = jnp.where(take, w, arg)
+        g_iota = jax.lax.broadcasted_iota(jnp.int32, m_v.shape, 1)
+        vals_ref[...] = m_v
+        idx_ref[...] = base + arg * g + g_iota           # group-local SLOTS
+
+    def kernel(gp_ref, gnb_ref, planes_ref, tcat_ref, jrow_ref, vals_ref, idx_ref):
+        i = pl.program_id(0)
+        live = (i % nblocks) < gnb_ref[i // nblocks]
+        base = (i % nblocks) * block_n
+
+        @pl.when(live)
+        def _():
+            body(planes_ref, tcat_ref, jrow_ref, vals_ref, idx_ref, base)
+
+        @pl.when(jnp.logical_not(live))
+        def _():
+            vals_ref[...] = jnp.full(vals_ref.shape, jnp.inf, jnp.float32)
+            idx_ref[...] = jnp.zeros(idx_ref.shape, jnp.int32)
+
+    def planes_map(i, gp, gnb):
+        return (
+            0,
+            gp[i // nblocks] * nblocks
+            + jnp.minimum(i % nblocks, gnb[i // nblocks] - 1),
+        )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(gcap * nblocks,),
+        in_specs=[
+            pl.BlockSpec((m, block_n), planes_map),
+            pl.BlockSpec((gq, lanes), lambda i, gp, gnb: (i // nblocks, 0)),
+            pl.BlockSpec((lanes, 128), lambda i, gp, gnb: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((gq, g), lambda i, gp, gnb: (i // nblocks, i % nblocks))
+            for _ in range(2)
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((gcap * gq, rows_per_group // window), dt)
+            for dt in (jnp.float32, jnp.int32)
+        ],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * gcap * rows_per_group * lanes * gq,
+            bytes_accessed=gcap * rows_per_group * m
+            + total_t * lanes * 2
+            + gcap * gq * (rows_per_group // window) * 8,
+            transcendentals=0,
+        ),
+    )(group_part, group_nblk, planes, tables_cat_g, jrow)
 
 
 @functools.partial(

@@ -281,3 +281,78 @@ def test_adc8_grouped_recovers_cowindow_neighbors(rng):
         np.sort(np.asarray(d1), -1), np.sort(np.asarray(d0), -1),
         rtol=1e-4, atol=1e-2,
     )
+
+
+def test_scan8_grouped_tq_parity(rng):
+    """tq 8-bit grouped kernel == row128 grouped kernel (same window minima
+    and arg slots; planes in to_planes production slot order)."""
+    from qadc_tpu.kernels.lut_scan import (
+        build_scan8_tables,
+        lut_scan8_grouped_prefetch,
+        lut_scan8_grouped_tq,
+        to_planes,
+    )
+
+    m = 8
+    cpr = 128 // m
+    parts, gcap, gq = 8, 4, 64
+    rows_per_group = 2048
+    block_n, window = 1024, 8
+    codes = jnp.asarray(
+        rng.integers(
+            0, 256, size=(parts * rows_per_group // cpr, 128), dtype=np.uint8
+        )
+    )
+    planes = to_planes(codes, m, block_n)
+    gp = jnp.asarray(rng.permutation(parts)[:gcap].astype(np.int32))
+    tables = jnp.asarray(rng.normal(size=(gq, m, 256)).astype(np.float32))
+    t8 = build_scan8_tables(tables)                     # (m*256, gq) bf16
+    tg = jnp.concatenate(
+        [t8 for _ in range(gcap)], axis=0
+    )  # same slab per group
+    nblk = jnp.asarray(rng.integers(1, 3, size=(gcap,)).astype(np.int32))
+    v0, s0 = lut_scan8_grouped_prefetch(
+        codes, gp, tg, rows_per_group=rows_per_group, m=m, block_n=block_n,
+        window=window, interpret=True, transpose_out=True, group_nblk=nblk,
+    )
+    tcat = jnp.concatenate([t8.T for _ in range(gcap)], axis=0)  # (gcap*gq, lanes)
+    v1, s1 = lut_scan8_grouped_tq(
+        planes, gp, tcat, rows_per_group=rows_per_group, m=m, block_n=block_n,
+        window=window, interpret=True, group_nblk=nblk,
+    )
+    np.testing.assert_allclose(np.asarray(v0), np.asarray(v1), rtol=1e-6)
+    finite = np.isfinite(np.asarray(v0))
+    np.testing.assert_array_equal(
+        np.asarray(s0)[finite], np.asarray(s1)[finite]
+    )
+
+
+def test_adc8_grouped_tq_matches_row128(rng):
+    """Full 8-bit IVF search: planes vs planes=None return identical
+    results (rerank is exact-f32 gathers; window sets identical)."""
+    import dataclasses
+
+    from qadc_tpu.index.build import repad_partitions
+
+    dim, n, parts_n = 32, 20000, 8
+    centers = rng.normal(scale=3.0, size=(parts_n, dim)).astype(np.float32)
+    base = (
+        centers[rng.integers(0, parts_n, n)] + rng.normal(size=(n, dim))
+    ).astype(np.float32)
+    queries = (
+        centers[rng.integers(0, parts_n, 8)] + rng.normal(size=(8, dim))
+    ).astype(np.float32)
+    coarse = ivf.train_coarse(jax.random.PRNGKey(0), base[:4000], parts_n, iters=8)
+    a = np.asarray(assign_nearest(base[:4000], coarse))
+    pq = train_pq(
+        jax.random.PRNGKey(1), base[:4000] - np.asarray(coarse)[a], 8, 8, iters=6
+    )
+    index = ivf.add(ivf.IVFIndex.create(pq, coarse), base)
+    pad = -(-index.part_pad // 1024) * 1024
+    ix = repad_partitions(index, pad)
+    assert ix.planes is not None and ix.tq_block_n() == 1024
+    ix0 = dataclasses.replace(ix, planes=None)
+    d1, l1 = ivf.search_adc(ix, queries, r=50, ma=4, interpret=True)
+    d0, l0 = ivf.search_adc(ix0, queries, r=50, ma=4, interpret=True)
+    np.testing.assert_array_equal(np.asarray(l1), np.asarray(l0))
+    np.testing.assert_array_equal(np.asarray(d1), np.asarray(d0))
