@@ -48,6 +48,22 @@ def _kernel(planes_ref, tlo_ref, thi_ref, ohc_ref, vals_ref, *, window, cb, mode
         x = planes_ref[:, w * g : (w + 1) * g].astype(jnp.int32)
         lo = x & 15
         hi = x >> 4
+        if mode == "widebf":
+            # bf16 replicate+compare: nibbles <= 15 exact in bf16; half the
+            # register bytes of the int32 compares if cmpf lowers.
+            jrow = ohc_ref[cb : cb + 16 * cb, 0:1].astype(jnp.int32).astype(
+                jnp.bfloat16
+            )
+            lo_b = lo.astype(jnp.bfloat16)
+            hi_b = hi.astype(jnp.bfloat16)
+            rep_lo = jnp.concatenate([lo_b] * 16, axis=0)
+            rep_hi = jnp.concatenate([hi_b] * 16, axis=0)
+            oh = jnp.concatenate(
+                [(rep_lo == jrow).astype(jnp.int8),
+                 (rep_hi == jrow).astype(jnp.int8)], axis=0)
+            d = jnp.dot(tlo, oh, preferred_element_type=jnp.int32)
+            m = d if m is None else jnp.minimum(m, d)
+            continue
         if mode in ("wide", "widecat", "widecat16"):
             # Replicate to (16cb, g) int32 FIRST, then one compare per half
             # against the per-sublane j pattern (big-tile VPU ops).
@@ -152,12 +168,12 @@ def main():
     s_cat = jnp.asarray(s_cat)
     t_cat = jnp.concatenate([tlo_t, thi_t], axis=1)  # (Q, 256)
 
-    runs = [("widecat", b) for b in (8192, 16384)]
-    runs += [("widecat16", b) for b in (8192, 16384, 32768)]
+    runs = [("widecat", b) for b in (16384,)]
+    runs += [("widebf", b) for b in (8192, 16384)]
     for mode, bb in runs:
         if mode == "bitmm":
             args0 = (planes, t_cat, s_cat, ohc)
-        elif mode in ("widecat", "widecat16"):
+        elif mode in ("widecat", "widecat16", "widebf"):
             args0 = (planes, t_cat, thi_t, ohc)
         else:
             args0 = (planes, tlo_t, thi_t, ohc)

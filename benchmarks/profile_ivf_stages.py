@@ -9,6 +9,10 @@ Run: python benchmarks/profile_ivf_stages.py [--ma 24] [--q 128]
 """
 
 import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import time
 
 import numpy as np

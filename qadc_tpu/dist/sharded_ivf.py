@@ -337,7 +337,10 @@ def _search_impl(
 
             # ---- query-level window merge + whole-window exact rerank
             # (local, shared 2-D-shaped helper — index.ivf.window_rerank).
-            wq = min(2 * r, ma * c)
+            # wq = r matches the single-chip grouped path (containment note
+            # + measured A/B in index.ivf._search_qadc_grouped_impl); each
+            # shard returns its own top-r before the cross-shard merge.
+            wq = min(r, ma * c)
             cv_q = cv.reshape(qc, ma * c)
             # EXACT window screen (see index.ivf._search_qadc_grouped_impl:
             # the approx bf16 segment screen dropped whole clustered windows).

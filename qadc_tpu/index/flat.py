@@ -387,7 +387,9 @@ def search_adc(
                     cb=cb, block_n=bn, window=window, acc_dtype_name="float32",
                     interpret=interpret, transpose_out=True,
                 )
-            wq = min(2 * r, range_codes // window)
+            # wq = r: screen minima and rerank values are the same exact f32
+            # ADC distances (containment note in ivf._search_qadc_grouped_impl).
+            wq = min(r, range_codes // window)
             size_r = min(max(index.n - ri * range_codes, 0), range_codes)
             dv, dl = window_search_rows(
                 codes_r,

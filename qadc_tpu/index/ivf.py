@@ -761,7 +761,12 @@ def _search_adc4_grouped_impl(
     sz = index.part_sizes[p_of_pair]
     cv = jnp.where(_window_valid_mask(sz, c, block_n, window, m // 2), cv, jnp.inf)
 
-    wq = min(2 * r, ma * c)
+    # wq = r is LOSSLESS here: the screen minima and the rerank distances are
+    # the same exact float ADC values, so the top-r codes live in at most r
+    # windows and any displacing window holds a better code (see the
+    # containment note in _search_qadc_grouped_impl; rerank tail is
+    # wq-proportional).
+    wq = min(r, ma * c)
     cv_q = cv.reshape(q, ma * c)
     # EXACT window screen; the sort cascade beats the K-dominated TopK
     # custom call at ma*C widths (ops/topk.py), identical selection/ties.
@@ -1054,7 +1059,7 @@ def _grouped_scan_bytes(
     if r and cb:
         cpr = 128 // cb
         table_row = 2 * 16 * cb * 4
-        a = q * min(2 * r, ma * c)          # selected windows
+        a = q * min(r, ma * c)              # selected windows (wq = r)
         total += a * (128 + cpr * 4 + table_row + cpr * 4)
         if prefix_pad:
             pre = qa * (-(-prefix_pad // cpr))  # prefix rows scanned
@@ -1240,12 +1245,14 @@ def _search_qadc_direct_impl(
 @partial(
     jax.jit,
     static_argnames=("r", "ma", "keep", "prefix_pad", "rerank", "group_size",
-                     "window", "interpret", "block_n", "saturate"),
+                     "window", "interpret", "block_n", "saturate",
+                     "screen_windows"),
 )
 def _search_qadc_grouped_impl(
     index: IVFIndex, queries, r: int, ma: int, keep: float, prefix_pad: int,
     rerank: bool, group_size: int, window: int, interpret: bool,
     block_n: int = 2048, saturate: bool = False, bound=None,
+    screen_windows: int = 0,
 ):
     """Partition-grouped Quick-ADC IVF search (Pallas kernel path).
 
@@ -1333,8 +1340,17 @@ def _search_qadc_grouped_impl(
     # Merge windows at QUERY level (top 2r windows across the query's ma
     # partitions), then expand EVERY row of each winning window and rank those
     # (quantization ties inside a window are harmless; candidate volume stays
-    # Q x 2r x W instead of Q x ma x r x W).
-    wq = min(2 * r, ma * c)
+    # Q x r x W instead of Q x ma x r x W).
+    #
+    # wq = r is SUFFICIENT with an exact screen: any window displacing a
+    # top-r code's window has a smaller true minimum, i.e. holds a better
+    # code itself — at most r windows can hold the quantized top-r. The old
+    # 2r default was margin from the approx-screen era; measured at the 1M
+    # parity build (benchmarks/ab_screen_width.py, v5e 2026-08-20): recall
+    # IDENTICAL at wq = r / 1.5r / 2r (0.9141, the 16x4 exact-ADC ceiling,
+    # same as every bound variant in ab_bound.py) and the rerank tail is
+    # wq-proportional (b=32 45.7 -> 39.9 us/q on that build).
+    wq = min(screen_windows or r, ma * c)
     cv_q = cv.reshape(q, ma * c)
     # EXACT window screen (sort cascade, ops.topk.exact_screen_smallest).
     # Exactness matters twice: (1) top-wq windows by true window min with
@@ -1527,7 +1543,7 @@ def search_qadc(
     grouped_window: int | None = None, interpret: bool = False,
     saturate: bool = False, direct: bool | None = None,
     scan_budget_bytes: int | None = None,
-    block_n: int | None = None, bound=None,
+    block_n: int | None = None, bound=None, screen_windows: int = 0,
 ):
     """Quick-ADC IVF search (reference: db_query_4.cpp; requires sq_bits==4).
 
@@ -1557,6 +1573,10 @@ def search_qadc(
     resolution (see _quantized_tables). Ignored by the direct path, whose
     ranking is exact float and needs no bound; pass direct=False to force
     the quantized pipeline when measuring bound effects.
+    screen_windows: override the grouped path's window-screen width wq
+    (default r — sufficient with the exact screen; see the containment note
+    and measured A/B in _search_qadc_grouped_impl). Diagnostic knob for
+    benchmarks/ab_screen_width.py.
 
     Returns (dists (Q, r) float32, labels (Q, r) int32).
     """
@@ -1628,7 +1648,7 @@ def search_qadc(
             return _search_qadc_grouped_impl(
                 index, qs, r, ma, keep, prefix_pad, rerank,
                 group_size, grouped_window, interpret, saturate=saturate,
-                block_n=block_n, bound=bd,
+                block_n=block_n, bound=bd, screen_windows=screen_windows,
             )
 
         lanes = (index.pq.sq_count // 2) * 16

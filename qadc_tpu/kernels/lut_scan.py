@@ -413,7 +413,8 @@ def lut_scan_reduce(
 # (scoped vmem is 16 MB on v5e). Measured 1M x 128q (ab_tq_ablate.py,
 # 2026-08-20): 0.277 ms = 484 G cq/s = 63% of the formulation bound vs the
 # row128 kernel's 0.446 ms / 40%. Rejected along the way (same A/B): int8
-# vector compare and int8 vector add (Mosaic: target unsupported), bitplane
+# vector compare, int8 vector add, and bf16 vector compare (Mosaic: target
+# unsupported — narrow types are matmul-operand-only on v5e), bitplane
 # match-count matmul one-hot (0.488 ms — the extra K=72 matmul + relu on
 # (256, g) eats the compare saving), int16 output (cast cancels the write
 # saving), per-j small compares (0.432 ms — (cb, g) tiles underutilize the
