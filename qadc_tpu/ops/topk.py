@@ -171,6 +171,20 @@ def exact_screen_smallest(vals, k: int, idx=None):
     return v[:, :k].reshape(*lead, k), idx[:, :k].reshape(*lead, k)
 
 
+def _screen_topk_enabled() -> bool:
+    """A/B switch: run exact_tile_screen's two exact selections through
+    lax.top_k instead of the sort cascade. Read at TRACE time (A/B harnesses
+    must jax.clear_caches() between flips). Default OFF: top_k microbenches
+    on the v5e are BIMODAL — the same (1, 3072) k=100 call measures either
+    ~2 us or ~85 us across identical fori-chain runs (2026-08-20, 3-run
+    stability check) — so the e2e number under this flag decides, not the
+    primitive's microbench.
+    """
+    import os
+
+    return os.environ.get("QADC_SCREEN_TOPK", "0") != "0"
+
+
 def exact_tile_screen(vals, k: int, tile: int = 32, mins=None):
     """EXACT k-smallest + indices along the last axis, via tile minima.
 
@@ -217,17 +231,29 @@ def exact_tile_screen(vals, k: int, tile: int = 32, mins=None):
     else:
         mins = jnp.min(dm, axis=-1)                        # (Q, ntiles)
     kt = min(k, ntiles)
-    inner = exact_tile_screen if ntiles > 16384 else exact_screen_smallest
-    _, ti = inner(mins, kt)                                # exact tile cut
-    cand = jnp.take_along_axis(dm, ti[..., None], axis=1)  # (Q, kt, tile)
-    # Members carry their GLOBAL column as the sort payload — no post-sort
-    # take_along_axis element gather (those are per-element expensive on
-    # TPU; the cascade carries one int32 payload either way).
-    cidx = ti[..., None] * tile + jnp.arange(tile, dtype=jnp.int32)
-    sv, idx = exact_screen_smallest(
-        cand.reshape(q, kt * tile), min(k, kt * tile),
-        idx=cidx.reshape(q, kt * tile),
-    )
+    if _screen_topk_enabled():
+        # TopK-custom-call variant (same exact selection, lower-index-first
+        # ties like the stable cascade): one top_k for the tile cut, one for
+        # the members, payload columns gathered after.
+        _, ti = jax.lax.top_k(-mins, kt)
+        ti = jax.lax.sort(ti, dimension=-1)                # ascending tile ids
+        cand = jnp.take_along_axis(dm, ti[..., None], axis=1)
+        cidx = ti[..., None] * tile + jnp.arange(tile, dtype=jnp.int32)
+        nsv, mi = jax.lax.top_k(-cand.reshape(q, kt * tile), min(k, kt * tile))
+        sv = -nsv
+        idx = jnp.take_along_axis(cidx.reshape(q, kt * tile), mi, axis=-1)
+    else:
+        inner = exact_tile_screen if ntiles > 16384 else exact_screen_smallest
+        _, ti = inner(mins, kt)                            # exact tile cut
+        cand = jnp.take_along_axis(dm, ti[..., None], axis=1)  # (Q, kt, tile)
+        # Members carry their GLOBAL column as the sort payload — no
+        # post-sort take_along_axis element gather (those are per-element
+        # expensive on TPU; the cascade carries one int32 payload either way).
+        cidx = ti[..., None] * tile + jnp.arange(tile, dtype=jnp.int32)
+        sv, idx = exact_screen_smallest(
+            cand.reshape(q, kt * tile), min(k, kt * tile),
+            idx=cidx.reshape(q, kt * tile),
+        )
     kk = sv.shape[-1]
     if kk < k:  # row narrower than k after the tile cut: pad the contract
         sv = jnp.pad(sv, [(0, 0), (0, k - kk)], constant_values=jnp.inf)

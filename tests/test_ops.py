@@ -206,6 +206,46 @@ def test_exact_tile_screen_clustered_adversarial():
     )
 
 
+def test_exact_tile_screen_topk_variant_matches():
+    """QADC_SCREEN_TOPK=1 (the lax.top_k A/B variant — e2e-rejected on v5e
+    but kept as an instrument) must return the same exact values, with
+    indices referencing the returned values."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from qadc_tpu.ops.topk import exact_tile_screen
+
+    rng = np.random.default_rng(11)
+    d = jnp.asarray(rng.normal(size=(2, 13000)).astype(np.float32))
+    mins = jnp.min(
+        jnp.pad(d, [(0, 0), (0, (-13000) % 32)], constant_values=jnp.inf)
+        .reshape(2, -1, 32), axis=-1,
+    )
+    os.environ["QADC_SCREEN_TOPK"] = "1"
+    jax.clear_caches()
+    try:
+        sv, si = exact_tile_screen(d, 100)
+        sv2, si2 = exact_tile_screen(
+            jnp.pad(d, [(0, 0), (0, (-13000) % 32)], constant_values=jnp.inf),
+            100, mins=mins,
+        )
+    finally:
+        os.environ["QADC_SCREEN_TOPK"] = "0"
+        jax.clear_caches()
+    top, _ = jax.lax.top_k(-d, 100)
+    for v, i in ((sv, si), (sv2, si2)):
+        np.testing.assert_array_equal(np.asarray(v), np.asarray(-top))
+        np.testing.assert_array_equal(
+            np.take_along_axis(
+                np.pad(np.asarray(d), [(0, 0), (0, (-13000) % 32)],
+                       constant_values=np.inf),
+                np.asarray(i), axis=-1),
+            np.asarray(v),
+        )
+
+
 def test_exact_tile_screen_ties_and_infs():
     """Heavy ties (integer-valued) and +inf dead slots: values must still
     be the exact k smallest; indices must reference equal values."""
