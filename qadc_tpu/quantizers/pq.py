@@ -12,6 +12,7 @@ README.md:166-206) is in-framework: vmapped k-means per sub-space.
 from __future__ import annotations
 
 import dataclasses
+import math
 from functools import partial
 
 import jax
@@ -102,19 +103,61 @@ def train_pq(key, x, sq_count: int, sq_bits: int, iters: int = DEFAULT_ITERS):
     return ProductQuantizer(centroids=centroids, sq_bits=sq_bits).validate()
 
 
+# K-chunk size for wide-codebook encodes. 4/8-bit codebooks (K <= 256) take
+# the one-shot path; 16-bit (K = 65536) would materialize an (N, M, K) f32
+# distance tensor — 3+ GB at N = 3000, an OOM at production N on a 16 GB
+# chip — so the argmin runs as a scan over K chunks with a running
+# (best distance, best index) carry. Transient is N*M*ENCODE_K_CHUNK*4 B.
+ENCODE_K_CHUNK = 4096
+
+
 def encode_indices(pq: ProductQuantizer, vectors):
-    """Per-sub-space nearest-centroid indices, (N, M) int32. Applies rotation."""
+    """Per-sub-space nearest-centroid indices, (N, M) int32. Applies rotation.
+
+    Ties resolve to the LOWEST centroid index (argmin semantics), in the
+    chunked path too: strict < keeps the earlier chunk's winner.
+    """
     v = pq.rotate(jnp.asarray(vectors, jnp.float32))
     n = v.shape[0]
     sub = v.reshape(n, pq.sq_count, pq.sq_dim)
     c = pq.centroids
-    c2 = jnp.sum(c * c, axis=-1)  # (M, K)
-    cross = jnp.einsum(
-        "nmd,mkd->nmk", sub, c,
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+    k = c.shape[1]
+    if k <= ENCODE_K_CHUNK:
+        c2 = jnp.sum(c * c, axis=-1)  # (M, K)
+        cross = jnp.einsum(
+            "nmd,mkd->nmk", sub, c,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        return jnp.argmin(c2[None] - 2.0 * cross, axis=-1).astype(jnp.int32)
+    kc = math.gcd(k, ENCODE_K_CHUNK)
+    chunks = c.reshape(c.shape[0], k // kc, kc, pq.sq_dim).transpose(1, 0, 2, 3)
+
+    def step(carry, cc):
+        bd, bi, off = carry
+        c2 = jnp.sum(cc * cc, axis=-1)                      # (M, kc)
+        cross = jnp.einsum(
+            "nmd,mkd->nmk", sub, cc,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        d = c2[None] - 2.0 * cross                          # (N, M, kc)
+        i = jnp.argmin(d, axis=-1).astype(jnp.int32)        # (N, M)
+        dm = jnp.min(d, axis=-1)
+        upd = dm < bd
+        return (
+            jnp.where(upd, dm, bd),
+            jnp.where(upd, i + off, bi),
+            off + kc,
+        ), None
+
+    init = (
+        jnp.full((n, c.shape[0]), jnp.inf, jnp.float32),
+        jnp.zeros((n, c.shape[0]), jnp.int32),
+        jnp.int32(0),
     )
-    return jnp.argmin(c2[None] - 2.0 * cross, axis=-1).astype(jnp.int32)
+    (bd, bi, _), _ = jax.lax.scan(step, init, chunks)
+    return bi
 
 
 def encode(pq: ProductQuantizer, vectors):

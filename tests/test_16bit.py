@@ -14,7 +14,8 @@ from qadc_tpu.eval.recall import recall_at_r
 @pytest.mark.parametrize("m", [2, 4])
 def test_16bit_roundtrip_and_search(rng, m):
     dim = 16
-    base = rng.normal(size=(3000, dim)).astype(np.float32)
+    n = 800  # shapes sized for suite wall time; 3000 showed nothing more
+    base = rng.normal(size=(n, dim)).astype(np.float32)
     queries = base[:10] + 0.01 * rng.normal(size=(10, dim)).astype(np.float32)
     # 16-bit: 65536 centroids is overkill for tests; train_pq with sq_bits=16
     # would need k=65536 — use a synthetic codebook instead: random centroids.
@@ -25,12 +26,12 @@ def test_16bit_roundtrip_and_search(rng, m):
 
     cent = rng.normal(size=(m, k, dim // m)).astype(np.float32) * 0.01
     # Plant the data's subvectors into the codebook so encoding is meaningful.
-    cent[:, : 3000 // 1, :] = (
-        base.reshape(3000, m, dim // m).transpose(1, 0, 2)[:, :k, :]
+    cent[:, :n, :] = (
+        base.reshape(n, m, dim // m).transpose(1, 0, 2)[:, :k, :]
     )
     pq = ProductQuantizer(centroids=cent, sq_bits=16).validate()
     codes = np.asarray(encode(pq, base))
-    assert codes.shape == (3000, m * 2)
+    assert codes.shape == (n, m * 2)
     recon = np.asarray(decode(pq, codes))
     err = np.mean((recon - base) ** 2) / np.mean(base**2)
     assert err < 1e-6  # data vectors are in the codebook -> near-exact
@@ -91,11 +92,11 @@ def test_16bit_ivf_search(rng):
     from qadc_tpu.index import ivf
     from qadc_tpu.ops.knn import assign_nearest
 
-    m, dim, n = 2, 8, 4000
+    m, dim, n = 2, 8, 1500
     base = rng.normal(size=(n, dim)).astype(np.float32)
     queries = base[:8] + 0.001 * rng.normal(size=(8, dim)).astype(np.float32)
-    coarse = ivf.train_coarse(jax.random.PRNGKey(0), base[:2000], 8, iters=5)
-    a = np.asarray(assign_nearest(base[:2000], coarse))
+    coarse = ivf.train_coarse(jax.random.PRNGKey(0), base[:1000], 8, iters=5)
+    a = np.asarray(assign_nearest(base[:1000], coarse))
     pq = _mini_pq16(rng, m, dim)
     index = ivf.add(ivf.IVFIndex.create(pq, coarse), base)
     _, gt = exact_knn(queries, base, 1)
@@ -137,10 +138,10 @@ def test_16bit_ivf_grouped_matches_jnp(rng):
     from qadc_tpu.index import ivf
     from qadc_tpu.ops.knn import assign_nearest
 
-    m, dim, n = 2, 8, 4000
+    m, dim, n = 2, 8, 1500
     base = rng.normal(size=(n, dim)).astype(np.float32)
     queries = base[:8] + 0.001 * rng.normal(size=(8, dim)).astype(np.float32)
-    coarse = ivf.train_coarse(jax.random.PRNGKey(0), base[:2000], 8, iters=5)
+    coarse = ivf.train_coarse(jax.random.PRNGKey(0), base[:1000], 8, iters=5)
     pq = _mini_pq16(rng, m, dim)
     index = ivf.add(ivf.IVFIndex.create(pq, coarse), base)
     d0, l0 = ivf.search_adc(index, queries, r=20, ma=4, grouped=False)
