@@ -1,9 +1,16 @@
 """Stage-by-stage profile of the grouped Quick-ADC IVF search (real TPU).
 
-Times CUMULATIVE PREFIXES of the pipeline (front, +route, +slabs, +kernel,
-+window-select, +rerank = full) with chained-in-jit iterations and a single
-scalar readback (the axon relay acks without completing — see bench.py), then
-differences them into per-stage costs.
+Times CUMULATIVE PREFIXES of the PRODUCTION pipeline (front, +route, +slabs,
++kernel, +window-select, +rerank = full) with chained-in-jit iterations and a
+single scalar readback (the axon relay acks without completing — see
+bench.py), then differences them into per-stage costs.
+
+The stage bodies mirror index.ivf._search_qadc_grouped_impl at HEAD — tq
+(plane-major) grouped kernel when the index carries planes, EXACT tile
+screen, wq = r — so the deltas attribute the same work the e2e number pays.
+(An earlier version replicated the round-4 pipeline — row128 kernel, approx
+screen, wq = 2r — and its deltas stopped matching production; if these
+stages drift from the impl again, trust the impl.)
 
 Run: python benchmarks/profile_ivf_stages.py [--ma 24] [--q 128]
 """
@@ -39,7 +46,7 @@ def build_index(rng, dim=128, parts=256, part_pad=4096, m=16, real=3906):
         part_sizes=jnp.asarray(np.full((parts,), real, np.int32)),
         n=parts * real,
         max_part_size=real,
-    )
+    ).with_planes()
 
 
 def main():
@@ -58,15 +65,19 @@ def main():
     import jax
     import jax.numpy as jnp
     from qadc_tpu.index import ivf as ivf_mod
-    from qadc_tpu.index.ivf import _quantized_tables, window_rerank
+    from qadc_tpu.index.ivf import (
+        _group_nblk,
+        _group_table_slabs_tq,
+        _quantized_tables,
+        _window_valid_mask,
+        window_rerank,
+    )
     from qadc_tpu.index.routing import route_queries
     from qadc_tpu.kernels.lut_scan import (
-        build_scan_tables,
-        lut_scan_grouped_prefetch,
-        slots_to_rows,
-        window_slots,
+        build_scan_tables_tq,
+        lut_scan_grouped_tq,
     )
-    from qadc_tpu.ops.topk import screen_smallest
+    from qadc_tpu.ops.topk import exact_tile_screen
     import math
 
     rng = np.random.default_rng(0)
@@ -79,71 +90,75 @@ def main():
     window = args.window
     group_size = args.group_size
     block_n = math.gcd(args.block_n, part_pad)
-    lanes = (m // 2) * 16
     qa = q * ma
+    c = part_pad // window
+    assert index.tq_block_n() == block_n and block_n % (window * 128) == 0, (
+        "profile geometry no longer routes to the tq kernel — update this "
+        "profiler alongside _search_qadc_grouped_impl"
+    )
 
     # ---- pipeline stages as composable pieces; stage k returns a scalar tap.
     def front(idx, qs):
-        parts, tables, qtables, tiles = _quantized_tables(idx, qs, r, ma, keep, prefix_pad)
+        parts, tables, qtables, tiles = _quantized_tables(
+            idx, qs, r, ma, keep, prefix_pad
+        )
         return (parts, tables, qtables, tiles), qtables.astype(jnp.float32).sum()
 
     def route(idx, st):
         parts, tables, qtables, tiles = st
         routed = route_queries(parts, idx.part_count, group_size)
-        return (parts, tables, qtables, tiles, routed), routed.group_part.sum().astype(jnp.float32)
+        return (
+            (parts, tables, qtables, tiles, routed),
+            routed.group_part.sum().astype(jnp.float32),
+        )
 
     def slabs(idx, st):
         parts, tables, qtables, tiles, routed = st
-        gcap, g = routed.gcap, routed.group_size
-        tlo_pairs, thi_pairs = build_scan_tables(qtables.reshape(qa, m, 16), q_pad=qa)
-        tlo_pairs, thi_pairs = tlo_pairs.T, thi_pairs.T
-        qa_g = routed.qa_group.reshape(qa)
-        qa_s = routed.qa_slot.reshape(qa)
-        slot_to_pair = jnp.zeros((gcap * g,), jnp.int32).at[qa_g * g + qa_s].set(
-            jnp.arange(qa, dtype=jnp.int32)
+        tcat_pairs = build_scan_tables_tq(qtables.reshape(qa, m, 16), q_pad=qa)
+        (gcat,) = _group_table_slabs_tq(routed, tcat_pairs)
+        return (
+            (parts, tables, qtables, tiles, routed, gcat),
+            gcat.astype(jnp.float32).sum(),
         )
-        glo = (
-            tlo_pairs[slot_to_pair].reshape(gcap, g, lanes)
-            .transpose(0, 2, 1).reshape(gcap * lanes, g)
-        )
-        ghi = (
-            thi_pairs[slot_to_pair].reshape(gcap, g, lanes)
-            .transpose(0, 2, 1).reshape(gcap * lanes, g)
-        )
-        return (parts, tables, qtables, tiles, routed, glo, ghi), glo.astype(jnp.float32).sum()
 
     def kern(idx, st):
-        parts, tables, qtables, tiles, routed, glo, ghi = st
-        vals = lut_scan_grouped_prefetch(
-            idx.codes.reshape(-1, 128), routed.group_part, glo, ghi,
-            rows_per_group=part_pad, cb=m // 2, block_n=block_n, window=window,
+        parts, tables, qtables, tiles, routed, gcat = st
+        nblk = _group_nblk(
+            idx.part_sizes, routed.group_part, block_n, part_pad // block_n
         )
-        return (parts, tables, qtables, tiles, routed, vals), vals.astype(jnp.float32)[0, 0]
+        vals_rows = lut_scan_grouped_tq(
+            idx.planes, routed.group_part, gcat,
+            rows_per_group=part_pad, cb=m // 2, block_n=block_n,
+            window=window, group_nblk=nblk,
+        )
+        return (
+            (parts, tables, tiles, routed, vals_rows),
+            vals_rows.astype(jnp.float32)[0, 0],
+        )
 
     def winsel(idx, st):
-        parts, tables, qtables, tiles, routed, vals = st
-        gcap, g = routed.gcap, routed.group_size
+        parts, tables, tiles, routed, vals_rows = st
+        g = routed.group_size
         qa_g = routed.qa_group.reshape(qa)
         qa_s = routed.qa_slot.reshape(qa)
-        c = part_pad // window
-        vals_rows = vals.reshape(gcap, c, g).transpose(0, 2, 1).reshape(gcap * g, c)
-        cv = vals_rows[qa_g * g + qa_s].astype(jnp.float32)
+        cv = vals_rows[qa_g * g + qa_s].astype(jnp.float32)    # (QA, C)
         p_of_pair = parts.reshape(qa)
         sz = idx.part_sizes[p_of_pair]
-        win_ids = jnp.arange(c, dtype=jnp.int32)
-        all_slots = window_slots(win_ids, block_n, window)
-        all_rows = slots_to_rows(all_slots, block_n, m // 2)
-        win_has_valid = jnp.min(all_rows, axis=1)[None, :] < sz[:, None]
-        cv = jnp.where(win_has_valid, cv, jnp.inf)
-        wq = min(2 * r, ma * c)
+        cv = jnp.where(
+            _window_valid_mask(sz, c, block_n, window, m // 2), cv, jnp.inf
+        )
+        wq = min(r, ma * c)                                    # production wq
         cv_q = cv.reshape(q, ma * c)
-        screen_v, selq = screen_smallest(cv_q, wq)
+        screen_v, selq = exact_tile_screen(cv_q, wq)
         sel_ai = selq // c
         sel_wi = selq % c
         sel_pair = jnp.arange(q, dtype=jnp.int32)[:, None] * ma + sel_ai
         sel_part = jnp.take_along_axis(parts, sel_ai, axis=1)
         sel_sz = jnp.take_along_axis(sz.reshape(q, ma), sel_ai, axis=1)
-        return (tables, tiles, screen_v, sel_part, sel_pair, sel_wi, sel_sz), screen_v.sum()
+        return (
+            (tables, tiles, screen_v, sel_part, sel_pair, sel_wi, sel_sz),
+            screen_v.sum(),
+        )
 
     def rerank(idx, st):
         tables, tiles, screen_v, sel_part, sel_pair, sel_wi, sel_sz = st
