@@ -61,7 +61,7 @@ def main():
     print(f"index ready: {index.n/1e6:.0f}M codes, part_pad={part_pad}", flush=True)
 
     results = {}
-    for batch, klo, khi in ((512, 4, 20), (1, 40, 200)):
+    for batch, klo, khi in ((2048, 2, 10), (512, 4, 20), (1, 40, 200)):
         qs = jax.random.normal(k4, (batch, dim), jnp.float32)
 
         def body(a, tap):
