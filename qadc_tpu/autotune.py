@@ -43,18 +43,27 @@ def _cache_path() -> str:
     )
 
 
+def _bundled_defaults_path() -> str:
+    return os.path.join(os.path.dirname(__file__), "autotune_defaults.json")
+
+
 def _load_disk() -> None:
     global _disk_loaded
     if _disk_loaded:
         return
     _disk_loaded = True
-    try:
-        with open(_cache_path()) as f:
-            on_disk = json.load(f)
-    except (OSError, ValueError):
-        return
-    for k, v in on_disk.items():
-        _mem.setdefault(k, v)
+    # User cache first (its entries win), then the bundled measured defaults
+    # shipped with the package (v5e sweeps at common geometries — see
+    # autotune_defaults.json provenance comments in git history) so a fresh
+    # install starts from a measured pick instead of the fixed heuristic.
+    for path in (_cache_path(), _bundled_defaults_path()):
+        try:
+            with open(path) as f:
+                on_disk = json.load(f)
+        except (OSError, ValueError):
+            continue
+        for k, v in on_disk.items():
+            _mem.setdefault(k, v)
 
 
 def _save_disk() -> None:

@@ -33,6 +33,20 @@ def isolated_cache(tmp_path, monkeypatch):
     monkeypatch.setattr(autotune, "_disk_loaded", False)
 
 
+def test_bundled_defaults_load_under_user_cache():
+    """The package ships measured v5e picks (autotune_defaults.json); they
+    load after the user cache (user entries win) and never shadow other
+    backends' keys (bundled keys are tpu|-prefixed; tests run cpu|)."""
+    key = "tpu|ivf_qadc_grouped|m16x4|d128|pp4096|parts256|b32"
+    pick = autotune.lookup(key)
+    assert pick == {"block_n": 2048, "grouped_window": 8}
+    # User cache wins over the bundled entry.
+    autotune.record(key, {"block_n": 1024, "grouped_window": 16})
+    autotune._mem.clear()
+    autotune._disk_loaded = False
+    assert autotune.lookup(key) == {"block_n": 1024, "grouped_window": 16}
+
+
 def test_batch_bucket():
     assert autotune.batch_bucket(1) == 1
     assert autotune.batch_bucket(5) == 8
