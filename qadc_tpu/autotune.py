@@ -80,11 +80,17 @@ def _save_disk() -> None:
 
 def batch_bucket(q: int) -> int:
     """Quantize batch size to the serving buckets so one tuning run covers a
-    range of nearby batch sizes (1, 8, 32, 128, 512)."""
-    for b in (1, 8, 32, 128):
+    range of nearby batch sizes (1, 8, 32, 128, 512, 2048).
+
+    512 and 2048 are SEPARATE buckets deliberately: at Deep100M geometry the
+    b=512 winner (window 8) is 1.6x better there but 5.6x WORSE at b=2048 —
+    the doubled minima stream pushes the scan-budget governor into query
+    chunking (measured 2026-08-20, benchmarks/RESULTS.md autotune section).
+    """
+    for b in (1, 8, 32, 128, 512):
         if q <= b:
             return b
-    return 512
+    return 2048
 
 
 def geometry_key(index, path: str, q: int) -> str:
@@ -182,6 +188,45 @@ def tune_ivf_qadc(
                   f"{dt * 1e6:.1f} us/call")
         if dt < best_dt:
             best, best_dt = {"block_n": bn, "grouped_window": w}, dt
+    # CONFIRM before recording: one short-chain measure at a big-call
+    # geometry can be a relay outlier (a Deep100M sweep once scored a
+    # config at 29.8 ms/call whose honest repeats were ~120 ms and which
+    # regressed the production path 2.5x when recorded —
+    # benchmarks/RESULTS.md, autotune re-sweep section). Re-measure the
+    # winner against the shipped heuristic at double chain length and
+    # record only a confirmed >3% win.
+    import math as _math
+
+    heur = {
+        "block_n": _math.gcd(2048, pp),
+        "grouped_window": min(cpr, 16),
+    }
+    if best is not None and best != heur:
+        def _confirm(pick):
+            def body(args, tap):
+                idx, qs_ = args
+                d, _ = ivf.search_qadc(
+                    idx, qs_ + tap * 1e-12, r=r, ma=ma, keep=keep,
+                    grouped=True, direct=False,
+                    grouped_window=pick["grouped_window"],
+                    block_n=pick["block_n"], interpret=interpret,
+                )
+                return d[0, 0]
+
+            return fori_slope_seconds(
+                body, (index, queries), k_lo=2 * k_lo, k_hi=2 * k_hi
+            )
+
+        try:
+            t_best = _confirm(best)
+            t_heur = _confirm(heur)
+        except Exception:  # noqa: BLE001 — confirmation failure: keep heuristic
+            return {}
+        if verbose:
+            print(f"autotune confirm: pick {t_best * 1e6:.1f} us/call vs "
+                  f"heuristic {t_heur * 1e6:.1f}")
+        if t_best > t_heur * 0.97:
+            return {}
     if best is not None:
         record(geometry_key(index, "ivf_qadc_grouped", queries.shape[0]), best)
     return best or {}

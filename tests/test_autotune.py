@@ -51,7 +51,11 @@ def test_batch_bucket():
     assert autotune.batch_bucket(1) == 1
     assert autotune.batch_bucket(5) == 8
     assert autotune.batch_bucket(128) == 128
-    assert autotune.batch_bucket(1000) == 512
+    assert autotune.batch_bucket(512) == 512
+    # 512 and 2048 are separate buckets: the Deep100M b=512 winner is 5.6x
+    # worse at b=2048 (governor chunking) — one pick must not cover both.
+    assert autotune.batch_bucket(1000) == 2048
+    assert autotune.batch_bucket(4096) == 2048
 
 
 def test_record_lookup_roundtrip_and_disk_persistence(built, tmp_path):
